@@ -1,0 +1,227 @@
+"""The pathfinder viewer application — TPU-native re-design of
+pathfinder_viewer.py:226-361.
+
+Pipeline per frame (device): gray conversion -> grid LK flow -> radial
+normalize -> robust filter -> danger scoring; (host): layer rendering and
+compositing, FPS overlay. Supports:
+
+- interactive mode (cv2 GUI) with the reference's keyboard map
+  (pathfinder_viewer.py:314-337): space pause, 1 vectors, 2 lamps,
+  3 lamps window, 4 filtered vectors, q/esc quit;
+- headless mode: render composited frames to an mp4 (CI-able), or run
+  compute-only for benchmarking;
+- start_frame seek and frame stepping like the reference's crude
+  checkpoint (pathfinder_viewer.py:15,240).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import FilterParams, GridParams, LKParams, NormalizeParams
+from ..core.grid import measurement_grid
+from ..flow.lk_grid import lk_grid_flow
+from ..io.video import HAVE_CV2, VideoReader
+from ..utils.logging import get_logger
+from ..viz.draw import add_layers, put_text
+from ..viz.layers import draw_grid, draw_grid_vectors, draw_sparse_lamps
+
+log = get_logger("apps.pathfinder")
+
+
+@dataclasses.dataclass
+class PathfinderConfig:
+    video: str
+    add_sparse_flow: bool = True  # pathfinder_viewer.py:11
+    add_sparse_lamps: bool = True  # :12
+    show_lamps: bool = False  # :13
+    draw_bad_flow: bool = True  # :14
+    start_frame: int = 0  # :15
+    step: int = 30  # :16
+    max_frames: int | None = None
+    viewing_angle: float = 155.0  # :47
+    viewing_angle_req: float = 60.0  # :48
+    lk: LKParams = LKParams()
+    norm: NormalizeParams = NormalizeParams()
+    filt: FilterParams = FilterParams()
+
+
+class PathfinderApp:
+    def __init__(self, cfg: PathfinderConfig):
+        self.cfg = cfg
+        self.reader = VideoReader(cfg.video)
+        h, w = self.reader.height, self.reader.width
+        self.pts = measurement_grid(h, w, cfg.step)
+        self._flow_fn = jax.jit(
+            functools.partial(
+                lk_grid_flow, lk=cfg.lk, norm=cfg.norm, filt=cfg.filt
+            )
+        )
+        log.info("Video file %s (%dx%d, %d frames)", cfg.video, w, h, self.reader.length)
+
+    def compute_frame(self, prev_gray: np.ndarray, gray: np.ndarray):
+        """Device-side computation for one frame pair."""
+        return self._flow_fn(
+            jnp.asarray(prev_gray, jnp.float32), jnp.asarray(gray, jnp.float32), self.pts
+        )
+
+    def render_frame(self, img: np.ndarray, res, fps: float | None = None) -> np.ndarray:
+        """Host-side layer compositing (pathfinder_viewer.py:292-312)."""
+        cfg = self.cfg
+        h, w = img.shape[:2]
+        layers = [img]
+        good = np.asarray(res.good)
+        pts_i = np.asarray(res.pts)
+        next_i = np.asarray(res.next_pts)
+        if cfg.add_sparse_flow:
+            layers.append(
+                draw_grid_vectors((h, w), pts_i, next_i, good, cfg.draw_bad_flow)
+            )
+        if cfg.add_sparse_lamps:
+            flow_good = (next_i - pts_i)[good]
+            layers.append(draw_sparse_lamps((h, w), flow_good, pts_i[good]))
+        out = add_layers(*layers)
+        out = add_layers(
+            out,
+            draw_grid(
+                (h, w),
+                20,
+                colored_cross=True,
+                viewing_angle_rect=True,
+                cross=True,
+                grid=False,
+                blinds=True,
+                viewing_angle=cfg.viewing_angle,
+                viewing_angle_req=cfg.viewing_angle_req,
+            ),
+        )
+        if fps is not None:
+            put_text(out, f"{fps:.2f} FPS", (20, 30))
+        return out
+
+    def run(
+        self,
+        headless: bool = True,
+        out_path: str | None = None,
+        render: bool = True,
+    ) -> dict:
+        """Process the video; returns run metrics. headless=False opens the
+        interactive cv2 window with the reference's keyboard map."""
+        cfg = self.cfg
+        reader = self.reader
+        if cfg.start_frame:
+            reader.seek(cfg.start_frame)
+        prev = reader.read()
+        if prev is None:
+            raise IOError("no first frame")
+        import cv2 as _cv2  # decode backend guaranteed by VideoReader
+
+        prev_gray = _cv2.cvtColor(prev, _cv2.COLOR_BGR2GRAY)
+        writer = None
+        if out_path is not None:
+            fourcc = _cv2.VideoWriter_fourcc(*"mp4v")
+            writer = _cv2.VideoWriter(
+                out_path, fourcc, reader.fps or 25.0, (reader.width, reader.height)
+            )
+
+        n = 0
+        danger_counts = []
+        t_start = time.time()
+        compute_s = 0.0
+        while cfg.max_frames is None or n < cfg.max_frames:
+            frame = reader.read()
+            if frame is None:
+                break
+            gray = _cv2.cvtColor(frame, _cv2.COLOR_BGR2GRAY)
+            t0 = time.time()
+            res = self.compute_frame(prev_gray, gray)
+            jax.block_until_ready(res.modulus)
+            compute_s += time.time() - t0
+            prev_gray = gray
+            danger_counts.append(int(np.asarray(res.good).sum()))
+            if render or writer is not None or not headless:
+                fps = (n + 1) / max(time.time() - t_start, 1e-9)
+                out = self.render_frame(frame, res, fps=fps)
+                if writer is not None:
+                    writer.write(out)
+                if not headless and HAVE_CV2:
+                    _cv2.imshow("flow", out)
+                    key = _cv2.waitKey(1) & 0xFF
+                    if not self._handle_key(key):
+                        break
+            n += 1
+        if writer is not None:
+            writer.release()
+        wall = time.time() - t_start
+        return {
+            "frames": n,
+            "wall_s": wall,
+            "compute_s": compute_s,
+            "fps": n / max(wall, 1e-9),
+            "compute_fps": n / max(compute_s, 1e-9),
+            "mean_danger_points": float(np.mean(danger_counts)) if danger_counts else 0.0,
+        }
+
+    def _handle_key(self, key: int) -> bool:
+        """Reference keyboard map (pathfinder_viewer.py:314-337)."""
+        import cv2 as _cv2
+
+        cfg = self.cfg
+        if key == ord(" "):
+            while True:
+                k2 = _cv2.waitKey(30) & 0xFF
+                if k2 == ord(" "):
+                    break
+                if k2 in (ord("q"), 27):
+                    return False
+        if key == ord("1"):
+            cfg.add_sparse_flow = not cfg.add_sparse_flow
+        if key == ord("2"):
+            cfg.add_sparse_lamps = not cfg.add_sparse_lamps
+        if key == ord("3"):
+            if not cfg.add_sparse_flow:
+                cfg.add_sparse_flow = True
+            cfg.show_lamps = not cfg.show_lamps
+        if key == ord("4"):
+            if not cfg.add_sparse_flow:
+                cfg.add_sparse_flow = True
+            cfg.draw_bad_flow = not cfg.draw_bad_flow
+        if key in (ord("q"), 27):
+            return False
+        return True
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="TPU-native pathfinder viewer")
+    p.add_argument("video")
+    p.add_argument("--out", default=None, help="headless render target mp4")
+    p.add_argument("--start-frame", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--step", type=int, default=30)
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--no-render", action="store_true")
+    args = p.parse_args(argv)
+    cfg = PathfinderConfig(
+        video=args.video,
+        start_frame=args.start_frame,
+        max_frames=args.max_frames,
+        step=args.step,
+    )
+    app = PathfinderApp(cfg)
+    stats = app.run(
+        headless=not args.interactive, out_path=args.out, render=not args.no_render
+    )
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

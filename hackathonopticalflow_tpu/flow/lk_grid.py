@@ -1,0 +1,83 @@
+"""Grid-point LK flow with radial normalization and robust filtering —
+the TPU-native contract of the reference's `get_flow_lk`
+(pathfinder_viewer.py:144-193).
+
+Faithful pipeline, with exact constants:
+
+1. backward pyramidal LK: flow measured current -> previous frame
+   (the reference passes `(img2, img1)` at pathfinder_viewer.py:156);
+2. magnitude/angle decomposition; radial normalization
+   m <- m / (5 + sqrt(dist_to_center)) * 30 (:164-166);
+3. reconstructed endpoints, reference rounding int32(x + 0.5)
+   (truncation toward zero after +0.5, :170-171);
+4. robust mask median*1.0 < m < P99 (:173) — or the DenseOF.py:228
+   variant via FilterParams.
+
+jit-friendly: returns ALL points with a good/bad mask instead of ragged
+compaction (hosts compact for drawing).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.config import FilterParams, LKParams, NormalizeParams
+from ..nav.normalize import radial_normalize
+from ..nav.filter import robust_mask
+from ..ops.lk import pyr_lk
+
+
+class GridFlowResult(NamedTuple):
+    raw_next_pts: jnp.ndarray  # (N, 2) float32 — LK output before normalize
+    flow: jnp.ndarray  # (N, 2) int32 — normalized rounded endpoint - point
+    next_pts: jnp.ndarray  # (N, 2) int32 — normalized rounded endpoints
+    pts: jnp.ndarray  # (N, 2) int32 — rounded measurement points
+    modulus: jnp.ndarray  # (N,) float32 — normalized magnitudes
+    ang: jnp.ndarray  # (N,) float32 — flow angles
+    good: jnp.ndarray  # (N,) bool — passed the robust filter
+    status: jnp.ndarray  # (N,) bool — LK track status
+
+
+def _round_ref(x: jnp.ndarray) -> jnp.ndarray:
+    """np.int32(x + 0.5) parity: add 0.5 then truncate toward zero."""
+    return jnp.trunc(x + 0.5).astype(jnp.int32)
+
+
+def lk_grid_flow(
+    prev_gray: jnp.ndarray,
+    gray: jnp.ndarray,
+    pts: jnp.ndarray,
+    lk: LKParams = LKParams(),
+    norm: NormalizeParams = NormalizeParams(),
+    filt: FilterParams = FilterParams(),
+) -> GridFlowResult:
+    """prev_gray/gray: (H, W) grayscale float32 in [0, 255]; pts: (N, 2)."""
+    h, w = gray.shape
+    half_w = int(w / 2)
+    half_h = int(h / 2)
+
+    # backward flow: track grid points from current frame into previous
+    res = pyr_lk(gray, prev_gray, pts, lk)
+    flow_raw = res.next_pts - pts
+    fx, fy = flow_raw[:, 0], flow_raw[:, 1]
+    x, y = pts[:, 0], pts[:, 1]
+    ang = jnp.arctan2(fy, fx)
+    modulus = jnp.sqrt(fx * fx + fy * fy)
+    modulus = radial_normalize(modulus, x, y, half_w, half_h, norm)
+    nfx = modulus * jnp.cos(ang)
+    nfy = modulus * jnp.sin(ang)
+    next_pts = _round_ref(jnp.stack([x + nfx, y + nfy], axis=-1))
+    pts_i = _round_ref(pts)
+    good = robust_mask(modulus, filt)
+    return GridFlowResult(
+        raw_next_pts=res.next_pts,
+        flow=next_pts - pts_i,
+        next_pts=next_pts,
+        pts=pts_i,
+        modulus=modulus,
+        ang=ang,
+        good=good,
+        status=res.status,
+    )

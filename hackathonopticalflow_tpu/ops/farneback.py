@@ -1,0 +1,237 @@
+"""Farneback dense optical flow (TPU-native).
+
+From-scratch XLA implementation numerically faithful to
+cv2.calcOpticalFlowFarneback as called by the reference
+(DenseOF.py:127-157: pyr_scale 0.5, levels 3, winsize 15, iterations 3,
+poly_n 5, poly_sigma 1.2, flags 0):
+
+- per-level image preparation: GaussianBlur of the full-resolution frame
+  with sigma = (1/scale - 1)/2 (kernel round(5*sigma)|1, min 3) followed by
+  an INTER_LINEAR resize — not a recursive pyramid;
+- polynomial expansion: separable Gaussian-weighted moment correlations
+  {g, x*g, x^2*g} (replicate borders) combined through the inverse Gram
+  matrix entries (ig11, ig03, ig33, ig55) into the 5 coefficient channels
+  [b_y, b_x, a_yy, a_xx, a_xy-ish] — pure MXU/VPU work;
+- matrix update: bilinear warp of the second image's coefficients by the
+  current flow, averaging of the quadratic terms, delta-b linearized at the
+  prior flow, the OpenCV edge down-weighting band (BORDER=5), producing the
+  5-channel normal-equation field M;
+- flow update: un-normalized box sums of M over winsize (replicate border)
+  and the damped 2x2 Cramer solve (det + 1e-3);
+- coarse-to-fine: INTER_LINEAR flow upscale times 1/pyr_scale.
+
+The whole computation is dense (H, W) tensor algebra with static shapes —
+ideal XLA/TPU form; the only gather is the bilinear coefficient warp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import FarnebackParams
+from .image import gaussian_blur, resize_bilinear, sep_conv2d, box_sum
+
+# OpenCV edge down-weighting band (optflowgf.cpp FarnebackUpdateMatrices).
+_BORDER = 5
+_BORDER_SCALE = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_exp_consts(n: int, sigma: float):
+    """Gaussian moment taps and inverse-Gram entries (float64 host math,
+    as OpenCV's FarnebackPrepareGaussian)."""
+    if sigma < 1e-7:
+        sigma = n * 0.3
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x**2) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = x * g
+    xxg = x * x * g
+
+    # Gram matrix of basis {1, x, y, x^2, y^2, xy} under w(x,y)=g(x)g(y)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    w = np.outer(g, g)
+    basis = np.stack(
+        [np.ones_like(xx), xx, yy, xx**2, yy**2, xx * yy], axis=0
+    ).reshape(6, -1)
+    G = (basis * w.reshape(1, -1)) @ basis.T
+    invG = np.linalg.inv(G)
+    ig11 = invG[1, 1]
+    ig03 = invG[0, 3]
+    ig33 = invG[3, 3]
+    ig55 = invG[5, 5]
+    return (
+        g.astype(np.float32),
+        xg.astype(np.float32),
+        xxg.astype(np.float32),
+        float(ig11),
+        float(ig03),
+        float(ig33),
+        float(ig55),
+    )
+
+
+def poly_exp(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """Polynomial expansion -> (5, H, W) coefficient channels
+    [0]=b_y, [1]=b_x, [2]=a_yy, [3]=a_xx, [4]=cross."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
+    g = jnp.asarray(g)
+    xg = jnp.asarray(xg)
+    xxg = jnp.asarray(xxg)
+    one = jnp.array([1.0], img.dtype)
+
+    # vertical moment pass (replicate border)
+    s0 = sep_conv2d(img, g, one, mode="edge")
+    s1 = sep_conv2d(img, xg, one, mode="edge")
+    s2 = sep_conv2d(img, xxg, one, mode="edge")
+    # horizontal combination pass
+    b1 = sep_conv2d(s0, one, g, mode="edge")
+    b2 = sep_conv2d(s0, one, xg, mode="edge")
+    b3 = sep_conv2d(s1, one, g, mode="edge")
+    b4 = sep_conv2d(s2, one, g, mode="edge")
+    b5 = sep_conv2d(s0, one, xxg, mode="edge")
+    b6 = sep_conv2d(s1, one, xg, mode="edge")
+
+    return jnp.stack(
+        [
+            b3 * ig11,
+            b2 * ig11,
+            b1 * ig03 + b4 * ig33,
+            b1 * ig03 + b5 * ig33,
+            b6 * ig55,
+        ],
+        axis=0,
+    )
+
+
+def _border_factor(h: int, w: int) -> jnp.ndarray:
+    """Per-pixel edge down-weighting (1 in the interior)."""
+    def axis_f(n):
+        f = np.ones((n,), np.float32)
+        b = min(_BORDER, n)
+        f[:b] *= _BORDER_SCALE[:b]
+        f[n - b :] *= _BORDER_SCALE[:b][::-1]
+        return f
+
+    return jnp.asarray(np.outer(axis_f(h), axis_f(w)))
+
+
+def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Build the 5-channel normal-equation field M from the polynomial
+    coefficients of both frames and the current flow. (OpenCV
+    FarnebackUpdateMatrices parity.)"""
+    _, h, w = r0.shape
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype), indexing="ij"
+    )
+    fx = xs + dx
+    fy = ys + dy
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    inside = (x1 >= 0) & (x1 < w - 1) & (y1 >= 0) & (y1 < h - 1)
+    ax = (fx - x1).astype(r1.dtype)
+    ay = (fy - y1).astype(r1.dtype)
+    x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
+    y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
+
+    def samp(ch):
+        v00 = ch[y1i, x1i]
+        v10 = ch[y1i, x1i + 1]
+        v01 = ch[y1i + 1, x1i]
+        v11 = ch[y1i + 1, x1i + 1]
+        return (
+            v00 * (1 - ax) * (1 - ay)
+            + v10 * ax * (1 - ay)
+            + v01 * (1 - ax) * ay
+            + v11 * ax * ay
+        )
+
+    w2 = jnp.stack([samp(r1[c]) for c in range(5)], axis=0)
+
+    r2 = jnp.where(inside, w2[0], 0.0)
+    r3 = jnp.where(inside, w2[1], 0.0)
+    r4 = jnp.where(inside, (r0[2] + w2[2]) * 0.5, r0[2])
+    r5 = jnp.where(inside, (r0[3] + w2[3]) * 0.5, r0[3])
+    r6 = jnp.where(inside, (r0[4] + w2[4]) * 0.25, r0[4] * 0.5)
+
+    r2 = (r0[0] - r2) * 0.5
+    r3 = (r0[1] - r3) * 0.5
+    r2 = r2 + r4 * dy + r6 * dx
+    r3 = r3 + r6 * dy + r5 * dx
+
+    scale = _border_factor(h, w)
+    r2 = r2 * scale
+    r3 = r3 * scale
+    r4 = r4 * scale
+    r5 = r5 * scale
+    r6 = r6 * scale
+
+    return jnp.stack(
+        [
+            r4 * r4 + r6 * r6,  # G_yy
+            (r4 + r5) * r6,  # G_xy
+            r5 * r5 + r6 * r6,  # G_xx
+            r4 * r2 + r6 * r3,  # rhs_y
+            r6 * r2 + r5 * r3,  # rhs_x
+        ],
+        axis=0,
+    )
+
+
+def update_flow_blur(m: jnp.ndarray, win_size: int) -> jnp.ndarray:
+    """Solve for flow from box-averaged M (OpenCV FarnebackUpdateFlow_blur:
+    window sums scaled by 1/win^2, then the 1e-3-damped 2x2 Cramer solve)."""
+    ms = box_sum(m, win_size, mode="edge") * (1.0 / (win_size * win_size))
+    g11, g12, g22, h1, h2 = ms[0], ms[1], ms[2], ms[3], ms[4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g11 * h2 - g12 * h1) * idet
+    fy = (g22 * h1 - g12 * h2) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def farneback(
+    prev: jnp.ndarray,
+    nxt: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+) -> jnp.ndarray:
+    """Dense flow (H, W, 2) from prev to nxt grayscale (H, W) frames in
+    [0, 255]. cv2.calcOpticalFlowFarneback parity for flags=0."""
+    prev = prev.astype(jnp.float32)
+    nxt = nxt.astype(jnp.float32)
+    h, w = prev.shape
+
+    flow = None
+    for k in range(params.levels, -1, -1):
+        scale = params.pyr_scale**k
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        wk = int(round(w * scale))
+        hk = int(round(h * scale))
+
+        if flow is None:
+            flow = jnp.zeros((hk, wk, 2), jnp.float32)
+        else:
+            flow = resize_bilinear(
+                jnp.moveaxis(flow, -1, 0), hk, wk
+            )
+            flow = jnp.moveaxis(flow, 0, -1) * (1.0 / params.pyr_scale)
+
+        rs = []
+        for img in (prev, nxt):
+            smoothed = gaussian_blur(img, smooth_sz, sigma)
+            if (hk, wk) != (h, w):
+                smoothed = resize_bilinear(smoothed, hk, wk)
+            rs.append(poly_exp(smoothed, params.poly_n, params.poly_sigma))
+        r0, r1 = rs
+
+        m = update_matrices(r0, r1, flow)
+        for i in range(params.iterations):
+            flow = update_flow_blur(m, params.win_size)
+            if i < params.iterations - 1:
+                m = update_matrices(r0, r1, flow)
+    return flow

@@ -1,0 +1,142 @@
+"""Dense image primitives: separable convolution, Gaussian blur, box sums,
+OpenCV-compatible resizes, thresholding.
+
+These replace the OpenCV C++ kernels the reference calls through cv2
+(GaussianBlur: Operations.py:55-56; resize: Operations.py:46,239;
+threshold: Operations.py:58-60, DenseOF.py:396) with XLA-native ops.
+All functions take (..., H, W) float32 arrays and are jit-friendly
+(static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Parity-critical convolutions run in full f32 on the MXU.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _to_nchw(img: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    """Reshape (..., H, W) -> (N, 1, H, W) remembering the batch shape."""
+    batch_shape = img.shape[:-2]
+    h, w = img.shape[-2:]
+    return img.reshape((-1, 1, h, w)), batch_shape
+
+
+def conv2d_single(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """VALID 2-D correlation of (..., H, W) with (kh, kw)."""
+    x, batch_shape = _to_nchw(img)
+    k = kernel[None, None, :, :].astype(img.dtype)
+    y = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID", precision=_PRECISION
+    )
+    return y.reshape(batch_shape + y.shape[-2:])
+
+
+def sep_conv2d(
+    img: jnp.ndarray,
+    ky: jnp.ndarray,
+    kx: jnp.ndarray,
+    *,
+    mode: str = "reflect",
+) -> jnp.ndarray:
+    """Separable 2-D correlation with border handling.
+
+    mode: any jnp.pad mode — 'reflect' == cv2 BORDER_REFLECT_101 (default for
+    GaussianBlur / Scharr), 'edge' == BORDER_REPLICATE, 'constant' == zeros.
+    Output has the same spatial shape as the input.
+    """
+    ry, rx = len(ky) // 2, len(kx) // 2
+    pad = [(0, 0)] * (img.ndim - 2) + [(ry, ry), (rx, rx)]
+    x = jnp.pad(img, pad, mode=mode)
+    x = conv2d_single(x, jnp.asarray(ky, img.dtype)[:, None])
+    x = conv2d_single(x, jnp.asarray(kx, img.dtype)[None, :])
+    return x
+
+
+_SMALL_GAUSSIAN_TAB = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
+def gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+    """cv2.getGaussianKernel semantics, including the fixed small-kernel
+    tables used when sigma <= 0 and ksize <= 7."""
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN_TAB:
+        return jnp.asarray(_SMALL_GAUSSIAN_TAB[ksize], jnp.float32)
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    xs = jnp.arange(ksize, dtype=jnp.float64) - (ksize - 1) * 0.5
+    k = jnp.exp(-(xs**2) / (2.0 * sigma * sigma))
+    return (k / jnp.sum(k)).astype(jnp.float32)
+
+
+def gaussian_blur(
+    img: jnp.ndarray, ksize: int, sigma: float, *, mode: str = "reflect"
+) -> jnp.ndarray:
+    """cv2.GaussianBlur parity (BORDER_REFLECT_101 default)."""
+    k = gaussian_kernel1d(ksize, sigma)
+    return sep_conv2d(img, k, k, mode=mode)
+
+
+def box_sum(img: jnp.ndarray, ksize: int, *, mode: str = "edge") -> jnp.ndarray:
+    """Unnormalized box sums over a ksize x ksize window (replicate border),
+    as used by Farneback's flow averaging (OpenCV FarnebackUpdateFlow_blur)
+    and cornerMinEigenVal's blockSize aggregation."""
+    ones = jnp.ones((ksize,), img.dtype)
+    return sep_conv2d(img, ones, ones, mode=mode)
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize INTER_LINEAR parity (half-pixel centers, clamped, NO
+    antialiasing on downscale — unlike jax.image.resize)."""
+    h, w = img.shape[-2:]
+    scale_y = h / out_h
+    scale_x = w / out_w
+    # src = (dst + 0.5) * scale - 0.5
+    sy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * scale_y - 0.5
+    sx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * scale_x - 0.5
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2) if h > 1 else jnp.zeros_like(sy, jnp.int32)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2) if w > 1 else jnp.zeros_like(sx, jnp.int32)
+    wy = (sy - y0).astype(img.dtype) if h > 1 else jnp.zeros_like(sy, img.dtype)
+    wx = (sx - x0).astype(img.dtype) if w > 1 else jnp.zeros_like(sx, img.dtype)
+
+    rows0 = jnp.take(img, y0, axis=-2)
+    rows1 = jnp.take(img, jnp.minimum(y0 + 1, h - 1), axis=-2)
+    wy_b = wy.reshape((1,) * (img.ndim - 2) + (out_h, 1))
+    rows = rows0 * (1 - wy_b) + rows1 * wy_b
+    cols0 = jnp.take(rows, x0, axis=-1)
+    cols1 = jnp.take(rows, jnp.minimum(x0 + 1, w - 1), axis=-1)
+    wx_b = wx.reshape((1,) * (img.ndim - 2) + (1, out_w))
+    return cols0 * (1 - wx_b) + cols1 * wx_b
+
+
+def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize INTER_AREA parity for integer shrink factors (pixel-area
+    average); falls back to bilinear otherwise (matches cv2 for upscale)."""
+    h, w = img.shape[-2:]
+    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
+        fy, fx = h // out_h, w // out_w
+        x = img.reshape(img.shape[:-2] + (out_h, fy, out_w, fx))
+        return x.mean(axis=(-3, -1))
+    return resize_bilinear(img, out_h, out_w)
+
+
+def threshold_binary(img: jnp.ndarray, thresh: float, maxval: float = 255.0) -> jnp.ndarray:
+    """cv2.threshold(..., THRESH_BINARY) parity: img > thresh -> maxval else 0."""
+    return jnp.where(img > thresh, jnp.asarray(maxval, img.dtype), jnp.asarray(0, img.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_cache(ksize: int, sigma: float):
+    return gaussian_kernel1d(ksize, sigma)

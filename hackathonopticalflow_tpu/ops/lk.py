@@ -1,0 +1,197 @@
+"""Pyramidal iterative Lucas-Kanade sparse optical flow (TPU-native).
+
+A from-scratch XLA implementation numerically faithful to
+cv2.calcOpticalFlowPyrLK as called by the reference
+(pathfinder_viewer.py:154-158: win 45x45, maxLevel 2, <=10 iterations,
+eps 0.03; SparseOF.py:6-8: win 15x15), including:
+
+- pyrDown pyramid (5-tap, BORDER_REFLECT_101), ceil-halved level sizes;
+- Scharr (3,10,3)/32 template gradients per level, zero border padding;
+- image levels padded with BORDER_REFLECT_101 (window sampling beyond the
+  frame reads reflected pixels, as buildOpticalFlowPyramid arranges);
+- per-point 2x2 structure tensor from the template window, with OpenCV's
+  fixed-point scale on the spectral checks (A_cv = A_true * 2^10/2^20,
+  minEig < 1e-4, det < FLT_EPSILON);
+- the exact iteration schedule: Gauss-Newton step
+  delta = ((A12 b2 - A22 b1)/D, (A12 b1 - A11 b2)/D), convergence on
+  |delta|^2 <= eps^2, and the oscillation damper
+  (|delta + prev_delta| < 0.01 in both axes -> back off half a step);
+- coarse-to-fine x2 upscaling of the estimate, with invalid points
+  passing their current estimate through unchanged (OpenCV `continue`).
+
+TPU-first formulation: points are processed as one dense (N, win, win)
+batch per pyramid level; window sampling uses the shared-fractional-offset
+bilinear trick in ops/patch.py (one aligned dynamic slice + 4 shifted
+blends per point) instead of scattered gathers. Everything is jittable
+with static shapes; per-point control flow (convergence, out-of-bounds,
+degenerate tensors) is carried as masks through a fori_loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import LKParams
+from .deriv import scharr_deriv
+from .patch import extract_patches
+from .pyramid import build_pyramid
+
+_FLT_EPSILON = 1.1920929e-07
+# OpenCV accumulates with W_BITS=14 fixed point and FLT_SCALE = 2^-20;
+# its A and b come out as (true value) * 32*32 / 2^20 = (true value)/1024.
+_CV_SCALE = 1.0 / 1024.0
+
+
+class LKResult(NamedTuple):
+    next_pts: jnp.ndarray  # (N, 2) float32
+    status: jnp.ndarray  # (N,) bool — False where tracking failed at level 0
+    err: jnp.ndarray  # (N,) float32 — mean |window residual| at level 0
+
+
+def _level_lk(
+    img_prev: jnp.ndarray,
+    img_next: jnp.ndarray,
+    pts: jnp.ndarray,
+    next_center: jnp.ndarray,
+    status: jnp.ndarray,
+    level: int,
+    params: LKParams,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    win_w, win_h = params.win_size
+    half_w = (win_w - 1) * 0.5
+    half_h = (win_h - 1) * 0.5
+    halfwin = jnp.array([half_w, half_h], jnp.float32)
+    h, w = img_prev.shape
+    pad = max(win_w, win_h) + 2
+    eps2 = jnp.float32(max(params.eps, 0.0) ** 2)
+
+    dix, diy = scharr_deriv(img_prev)
+    img_prev_p = jnp.pad(img_prev, pad, mode="reflect")
+    img_next_p = jnp.pad(img_next, pad, mode="reflect")
+    dix_p = jnp.pad(dix, pad, mode="constant")
+    diy_p = jnp.pad(diy, pad, mode="constant")
+
+    scale = jnp.float32(1.0 / (1 << level))
+    tmpl_tl = pts * scale - halfwin  # (N, 2) top-left of template window
+    it = jnp.floor(tmpl_tl)
+    oob_tmpl = (
+        (it[:, 0] < -win_w) | (it[:, 0] >= w) | (it[:, 1] < -win_h) | (it[:, 1] >= h)
+    )
+
+    pad_off = jnp.float32(pad)
+
+    def _fix(x):
+        # OpenCV samples windows in W_BITS fixed point: values land on a
+        # 1/32-intensity grid (CV_DESCALE by W_BITS1-5). Reproduce that
+        # quantization for parity on ill-conditioned windows.
+        return jnp.floor(x * 32.0 + 0.5) * (1.0 / 32.0)
+
+    iw = _fix(extract_patches(img_prev_p, tmpl_tl + pad_off, win_h, win_w))
+    ixw = _fix(extract_patches(dix_p, tmpl_tl + pad_off, win_h, win_w))
+    iyw = _fix(extract_patches(diy_p, tmpl_tl + pad_off, win_h, win_w))
+
+    a11 = jnp.sum(ixw * ixw, axis=(1, 2)) * _CV_SCALE
+    a12 = jnp.sum(ixw * iyw, axis=(1, 2)) * _CV_SCALE
+    a22 = jnp.sum(iyw * iyw, axis=(1, 2)) * _CV_SCALE
+    det = a11 * a22 - a12 * a12
+    min_eig = (
+        a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)
+    ) / (2.0 * win_w * win_h)
+    bad_tensor = (min_eig < params.min_eig_threshold) | (det < _FLT_EPSILON)
+    bad_tmpl = oob_tmpl | bad_tensor
+    if level == 0:
+        status = status & ~bad_tmpl
+    inv_det = jnp.where(det > 0, 1.0 / det, 0.0)
+
+    next_tl0 = next_center - halfwin
+
+    def body(j, carry):
+        next_tl, prev_delta, active, status = carry
+        inext = jnp.floor(next_tl)
+        oob = (
+            (inext[:, 0] < -win_w)
+            | (inext[:, 0] >= w)
+            | (inext[:, 1] < -win_h)
+            | (inext[:, 1] >= h)
+        )
+        if level == 0:
+            status = status & ~(active & oob)
+        active = active & ~oob
+
+        jw = _fix(extract_patches(img_next_p, next_tl + pad_off, win_h, win_w))
+        diff = jw - iw
+        b1 = jnp.sum(diff * ixw, axis=(1, 2)) * _CV_SCALE
+        b2 = jnp.sum(diff * iyw, axis=(1, 2)) * _CV_SCALE
+        delta = jnp.stack(
+            [(a12 * b2 - a22 * b1) * inv_det, (a12 * b1 - a11 * b2) * inv_det],
+            axis=-1,
+        )
+        next_tl = jnp.where(active[:, None], next_tl + delta, next_tl)
+        converged = jnp.sum(delta * delta, axis=-1) <= eps2
+        osc = (
+            (j > 0)
+            & (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01)
+            & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
+        )
+        # converged wins over oscillation (OpenCV checks eps first)
+        osc = osc & ~converged
+        next_tl = jnp.where((active & osc)[:, None], next_tl - delta * 0.5, next_tl)
+        active = active & ~(converged | osc)
+        return next_tl, delta, active, status
+
+    active0 = ~bad_tmpl
+    next_tl, _, _, status = lax.fori_loop(
+        0, params.max_iters, body, (next_tl0, jnp.zeros_like(next_tl0), active0, status)
+    )
+
+    next_center_out = next_tl + halfwin
+    # err at level 0: mean |window residual| (OpenCV's default err output,
+    # descaled from its x32 fixed point)
+    if level == 0:
+        jw = extract_patches(img_next_p, next_tl + pad_off, win_h, win_w)
+        err = jnp.sum(jnp.abs(jw - iw), axis=(1, 2)) / (win_w * win_h)
+        err = jnp.where(status, err, 0.0)
+    else:
+        err = jnp.zeros(pts.shape[0], jnp.float32)
+    return next_center_out, status, err
+
+
+def pyr_lk(
+    img_prev: jnp.ndarray,
+    img_next: jnp.ndarray,
+    pts: jnp.ndarray,
+    params: LKParams = LKParams(),
+) -> LKResult:
+    """Track pts (N, 2) [x, y] from img_prev to img_next.
+
+    Images are (H, W) float32 grayscale in [0, 255]. Returns OpenCV-layout
+    results: next point positions, per-point status, residual error.
+    """
+    img_prev = img_prev.astype(jnp.float32)
+    img_next = img_next.astype(jnp.float32)
+    pts = pts.astype(jnp.float32)
+
+    # OpenCV stores LK pyramid levels as uint8; reproduce that rounding.
+    pyr_prev = build_pyramid(img_prev, params.max_level, quantize_u8=True)
+    pyr_next = build_pyramid(img_next, params.max_level, quantize_u8=True)
+
+    status = jnp.ones(pts.shape[0], dtype=bool)
+    err = jnp.zeros(pts.shape[0], jnp.float32)
+    next_center = pts * jnp.float32(1.0 / (1 << params.max_level))
+    for level in range(params.max_level, -1, -1):
+        if level != params.max_level:
+            next_center = next_center * 2.0
+        next_center, status, err = _level_lk(
+            pyr_prev[level],
+            pyr_next[level],
+            pts,
+            next_center,
+            status,
+            level,
+            params,
+        )
+    return LKResult(next_pts=next_center, status=status, err=err)

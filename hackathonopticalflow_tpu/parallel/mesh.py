@@ -1,0 +1,36 @@
+"""Device-mesh construction.
+
+The reference is strictly single-process (SURVEY.md §2.4); all parallelism
+here comes from the project north star: stream data-parallelism (batch of
+videos), spatial tiling of dense flow, and distributed windowed BA. The
+mesh axes are:
+
+- 'stream': independent video streams (pure DP — frame t depends on t-1
+  within a stream, so time is sequential per stream);
+- 'tile':   spatial row-tiles of one frame (halo-exchange domain);
+
+Intra-slice collectives ride ICI; multi-host extends the same axes over
+DCN via jax.distributed (the mesh is constructed from the global device
+list — XLA owns transport, no NCCL/MPI analog needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...], devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev, axis_names)
+
+
+def stream_tile_mesh(n_streams: int, n_tiles: int, devices=None) -> Mesh:
+    """('stream', 'tile') mesh — the standard layout for batched tiled flow."""
+    return make_mesh((n_streams, n_tiles), ("stream", "tile"), devices)

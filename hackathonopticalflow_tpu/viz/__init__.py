@@ -1,0 +1,17 @@
+from .draw import polylines, circle, rectangle, line, put_text, add_layers
+from .layers import draw_flow, draw_grid, draw_hsv, draw_sparse_lamps, draw_sparse_hsv, draw_tracks
+
+__all__ = [
+    "polylines",
+    "circle",
+    "rectangle",
+    "line",
+    "put_text",
+    "add_layers",
+    "draw_flow",
+    "draw_grid",
+    "draw_hsv",
+    "draw_sparse_lamps",
+    "draw_sparse_hsv",
+    "draw_tracks",
+]
