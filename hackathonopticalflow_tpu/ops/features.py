@@ -45,9 +45,9 @@ def min_eig_map(img: jnp.ndarray, block_size: int = 7, input_u8_scale: bool = Tr
     ix, iy = sobel_deriv(img.astype(jnp.float32))
     ix = ix * s
     iy = iy * s
-    a = box_sum(ix * ix, block_size, mode="edge")
-    b = box_sum(ix * iy, block_size, mode="edge")
-    c = box_sum(iy * iy, block_size, mode="edge")
+    a = box_sum(ix * ix, block_size, mode="reflect")
+    b = box_sum(ix * iy, block_size, mode="reflect")
+    c = box_sum(iy * iy, block_size, mode="reflect")
     return ((a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) * 0.5
 
 
