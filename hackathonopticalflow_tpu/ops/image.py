@@ -38,6 +38,25 @@ def conv2d_single(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(batch_shape + y.shape[-2:])
 
 
+def _band_matrix(n_in: int, k: jnp.ndarray) -> jnp.ndarray:
+    """(n_in, n_out) banded matrix B with B[i, j] = k[i - j]: a VALID
+    correlation along an axis becomes x @ B — the TPU-native formulation
+    (1-channel convolutions do not map onto the MXU; banded matmuls do)."""
+    kk = len(k)
+    n_out = n_in - kk + 1
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    d = i - j
+    band = jnp.zeros((n_in, n_out), k.dtype)
+    for t in range(kk):
+        band = band + jnp.where(d == t, k[t], 0)
+    return band
+
+
+def _use_mxu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def sep_conv2d(
     img: jnp.ndarray,
     ky: jnp.ndarray,
@@ -50,12 +69,26 @@ def sep_conv2d(
     mode: any jnp.pad mode — 'reflect' == cv2 BORDER_REFLECT_101 (default for
     GaussianBlur / Scharr), 'edge' == BORDER_REPLICATE, 'constant' == zeros.
     Output has the same spatial shape as the input.
+
+    On TPU the two passes run as banded-matrix matmuls on the MXU
+    (precision HIGHEST keeps f32-grade accuracy for the parity budget);
+    on CPU the direct convolution path is cheaper.
     """
+    ky = jnp.asarray(ky, img.dtype)
+    kx = jnp.asarray(kx, img.dtype)
     ry, rx = len(ky) // 2, len(kx) // 2
     pad = [(0, 0)] * (img.ndim - 2) + [(ry, ry), (rx, rx)]
     x = jnp.pad(img, pad, mode=mode)
-    x = conv2d_single(x, jnp.asarray(ky, img.dtype)[:, None])
-    x = conv2d_single(x, jnp.asarray(kx, img.dtype)[None, :])
+    if _use_mxu():
+        if len(kx) > 1:
+            bx = _band_matrix(x.shape[-1], kx)
+            x = jnp.einsum("...hw,wo->...ho", x, bx, precision=_PRECISION)
+        if len(ky) > 1:
+            by = _band_matrix(x.shape[-2], ky)
+            x = jnp.einsum("...hw,ho->...ow", x, by, precision=_PRECISION)
+        return x
+    x = conv2d_single(x, ky[:, None])
+    x = conv2d_single(x, kx[None, :])
     return x
 
 
@@ -74,9 +107,11 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
         return jnp.asarray(_SMALL_GAUSSIAN_TAB[ksize], jnp.float32)
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
-    xs = jnp.arange(ksize, dtype=jnp.float64) - (ksize - 1) * 0.5
-    k = jnp.exp(-(xs**2) / (2.0 * sigma * sigma))
-    return (k / jnp.sum(k)).astype(jnp.float32)
+    import numpy as _np
+
+    xs = _np.arange(ksize, dtype=_np.float64) - (ksize - 1) * 0.5
+    k = _np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    return jnp.asarray((k / k.sum()).astype(_np.float32))
 
 
 def gaussian_blur(

@@ -1,0 +1,123 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4: multi-device simulation via xla_force_host_platform_device_count)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from hackathonopticalflow_tpu.core.config import FarnebackParams
+from hackathonopticalflow_tpu.ops.farneback import farneback
+from hackathonopticalflow_tpu.parallel.mesh import make_mesh, stream_tile_mesh
+from hackathonopticalflow_tpu.parallel.halo import halo_exchange_rows
+from hackathonopticalflow_tpu.parallel.quantile import (
+    distributed_median,
+    distributed_percentile,
+    psum_histogram_quantile,
+)
+from hackathonopticalflow_tpu.parallel.tiling import TileConfig, tiled_farneback
+from hackathonopticalflow_tpu.parallel.streams import stream_batched_farneback
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_halo_exchange_matches_padding():
+    """Halo-extended tiles must reproduce slices of the edge-padded global
+    array."""
+    mesh = make_mesh((4,), ("tile",))
+    x = np.arange(64 * 6, dtype=np.float32).reshape(64, 6)
+    halo = 4
+
+    f = shard_map(
+        lambda t: halo_exchange_rows(t, halo, "tile", mode="edge"),
+        mesh=mesh,
+        in_specs=P("tile", None),
+        out_specs=P("tile", None),
+    )
+    out = np.asarray(f(jnp.asarray(x)))  # (4 * (16 + 2*halo), 6) stacked
+    padded = np.pad(x, ((halo, halo), (0, 0)), mode="edge")
+    tile_h = 16
+    for i in range(4):
+        got = out[i * (tile_h + 2 * halo) : (i + 1) * (tile_h + 2 * halo)]
+        want = padded[i * tile_h : i * tile_h + tile_h + 2 * halo]
+        np.testing.assert_array_equal(got, want, err_msg=f"tile {i}")
+
+
+@needs_8
+def test_distributed_quantiles_match_numpy():
+    mesh = make_mesh((8,), ("tile",))
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 40, (8, 64)).astype(np.float32)
+
+    med = shard_map(
+        lambda t: distributed_median(t.ravel(), "tile")[None],
+        mesh=mesh, in_specs=P("tile", None), out_specs=P("tile"),
+    )(jnp.asarray(x))
+    assert abs(float(np.asarray(med)[0]) - np.median(x)) < 1e-4
+
+    p99 = shard_map(
+        lambda t: distributed_percentile(t.ravel(), 99, "tile")[None],
+        mesh=mesh, in_specs=P("tile", None), out_specs=P("tile"),
+    )(jnp.asarray(x))
+    assert abs(float(np.asarray(p99)[0]) - np.percentile(x, 99)) < 1e-3
+
+    approx = shard_map(
+        lambda t: psum_histogram_quantile(t, 50.0, "tile", 0.0, 40.0, bins=4096)[None],
+        mesh=mesh, in_specs=P("tile", None), out_specs=P("tile"),
+    )(jnp.asarray(x))
+    # histogram quantile is exact up to sample rank (bin width << spacing):
+    # the returned value's rank must be the median rank +-1
+    v = float(np.asarray(approx)[0])
+    rank = (x.ravel() <= v).sum()
+    assert abs(rank - x.size / 2) <= 1
+
+
+@needs_8
+def test_tiled_farneback_matches_single_device(frame_pair_small):
+    """Tile-partitioned dense flow with halo exchange must equal the
+    single-device kernel away from the true frame borders (SURVEY.md §4
+    'bitwise-equal' distributed test, modulo the documented border band)."""
+    a, b = frame_pair_small  # (270, 480)
+    a = a[:256].astype(np.float32)
+    b = b[:256].astype(np.float32)
+    params = FarnebackParams(levels=1)
+    halo = 64
+    mesh = make_mesh((4,), ("tile",))
+    single = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b), params))
+    tiled = np.asarray(
+        jax.jit(
+            lambda p, x: tiled_farneback(
+                p, x, mesh, params, TileConfig(halo=halo)
+            )
+        )(jnp.asarray(a), jnp.asarray(b))
+    )
+    assert tiled.shape == single.shape
+    core = np.s_[halo:-halo]
+    d = np.linalg.norm(tiled[core] - single[core], axis=-1)
+    assert d.max() < 1e-3, d.max()
+
+
+@needs_8
+def test_stream_batched_farneback_matches_per_stream():
+    mesh = make_mesh((8,), ("stream",))
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 255, (8, 64, 96)).astype(np.float32)
+    b = np.roll(a, 2, axis=-1)
+    params = FarnebackParams(levels=1)
+    out = np.asarray(
+        jax.jit(lambda p, x: stream_batched_farneback(p, x, mesh, params))(
+            jnp.asarray(a), jnp.asarray(b)
+        )
+    )
+    ref0 = np.asarray(farneback(jnp.asarray(a[3]), jnp.asarray(b[3]), params))
+    np.testing.assert_allclose(out[3], ref0, atol=0.05)  # vmap changes f32 reduction order
+
+
+@needs_8
+def test_stream_tile_mesh_2d():
+    mesh = stream_tile_mesh(2, 4)
+    assert mesh.shape == {"stream": 2, "tile": 4}
