@@ -152,6 +152,16 @@ class PathfinderApp:
                 if writer is not None:
                     writer.write(out)
                 if not headless and HAVE_CV2:
+                    if cfg.show_lamps:
+                        good = np.asarray(res.good)
+                        pts_i = np.asarray(res.pts)
+                        flow_good = (np.asarray(res.next_pts) - pts_i)[good]
+                        _cv2.imshow(
+                            "lamps",
+                            draw_sparse_lamps(
+                                (reader.height, reader.width), flow_good, pts_i[good]
+                            ),
+                        )
                     _cv2.imshow("flow", out)
                     key = _cv2.waitKey(1) & 0xFF
                     if not self._handle_key(key):

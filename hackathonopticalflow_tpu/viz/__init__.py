@@ -1,5 +1,5 @@
 from .draw import polylines, circle, rectangle, line, put_text, add_layers
-from .layers import draw_flow, draw_grid, draw_grid_vectors, draw_hsv, draw_sparse_lamps, draw_sparse_hsv, draw_tracks
+from .layers import draw_flow, draw_grid, draw_grid_vectors, draw_hsv, draw_sparse_lamps, draw_sparse_hsv, draw_tracks, mark_points
 from .plotter import Plotter, draw_plot
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "draw_sparse_hsv",
     "draw_grid_vectors",
     "draw_tracks",
+    "mark_points",
     "Plotter",
     "draw_plot",
 ]

@@ -181,6 +181,28 @@ def draw_sparse_hsv(
     return bgr
 
 
+def mark_points(
+    img_or_shape, points: np.ndarray, margin_assert: bool = True
+) -> np.ndarray:
+    """15-px crosses at points on a fresh layer (Operations.mark_points,
+    Operations.py:90-103; keeps its >=7-px margin assertion)."""
+    if hasattr(img_or_shape, "shape"):
+        h, w = img_or_shape.shape[:2]
+    else:
+        h, w = img_or_shape
+    layer = np.zeros((h, w, 3), np.uint8)
+    for x, y in np.asarray(points):
+        if margin_assert:
+            assert (x - 7 > 0) and (y - 7 > 0)
+        polylines(
+            layer,
+            np.int32([[[x - 7, y], [x + 7, y]], [[x, y - 7], [x, y + 7]]]),
+            (0, 0, 255),
+            1,
+        )
+    return layer
+
+
 def draw_tracks(
     img: np.ndarray,
     traj: np.ndarray,
