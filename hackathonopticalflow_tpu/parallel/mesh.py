@@ -34,3 +34,34 @@ def make_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...], devices=None)
 def stream_tile_mesh(n_streams: int, n_tiles: int, devices=None) -> Mesh:
     """('stream', 'tile') mesh — the standard layout for batched tiled flow."""
     return make_mesh((n_streams, n_tiles), ("stream", "tile"), devices)
+
+
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Bring up the jax distributed runtime for multi-host pods (DCN).
+
+    After this, jax.devices() spans the full slice and the same mesh/
+    shard_map code paths run pod-wide — data loading should shard per
+    host (each process decodes its own video subset, BASELINE.json
+    config 5). No-op when already initialized or single-process.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    if coordinator is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_local_streams(paths: list[str]) -> list[str]:
+    """Partition a video list across hosts (round-robin by process id)."""
+    import jax
+
+    pid = jax.process_index()
+    n = jax.process_count()
+    return [p for i, p in enumerate(paths) if i % n == pid]
