@@ -24,9 +24,13 @@ from .draw import circle, line, polylines, rectangle
 
 
 def _host(x) -> np.ndarray:
-    """Device array -> contiguous writable host array (TPU layouts leak
-    non-contiguous strides through np.asarray; cv2 needs C-order)."""
-    return np.ascontiguousarray(np.asarray(x))
+    """Device array -> contiguous WRITABLE host array. np.asarray of a jax
+    array is a read-only view on CPU and non-contiguous on TPU; cv2 needs
+    a writable C-order buffer either way."""
+    a = np.asarray(x)
+    if not a.flags["C_CONTIGUOUS"] or not a.flags["WRITEABLE"]:
+        a = np.array(a)
+    return a
 
 
 def draw_flow(img_shape: tuple[int, int], flow: np.ndarray, step: int = 14) -> np.ndarray:
