@@ -30,6 +30,30 @@ def grab_frames(path: str, indices, gray: bool = False) -> list[np.ndarray]:
     return read_frames(path, indices, gray=gray)
 
 
+class FrameQueue:
+    """Bounded ring of recent (frame, frame_index) pairs — the reference's
+    frame_queue (DenseOF.py:19,503-508; written but never read there —
+    here it actually serves replay/debug access to recent frames)."""
+
+    def __init__(self, maxlen: int = 5):
+        self.maxlen = maxlen
+        self._items: list[tuple[np.ndarray, int]] = []
+
+    def push(self, frame: np.ndarray, idx: int) -> None:
+        if len(self._items) > self.maxlen:
+            self._items.pop(0)
+        self._items.append((frame, idx))
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def latest(self, n: int = 1):
+        return self._items[-n:]
+
+
 def resize_image(
     image: np.ndarray, des_w: int = 100, des_h: int | None = None, area: bool = True
 ) -> np.ndarray:
