@@ -25,13 +25,23 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class LKParams:
-    """Pyramidal Lucas-Kanade parameters (cv2.calcOpticalFlowPyrLK parity)."""
+    """Pyramidal Lucas-Kanade parameters (cv2.calcOpticalFlowPyrLK parity).
+
+    slab_margin: None -> exact per-iteration window extraction (OpenCV
+    parity; golden-test path). An int M -> the TPU fast path: one
+    (win+2M+1)^2 slab is extracted per point per level and the iteration
+    windows are selected from it with static-slice masked adds (no
+    per-iteration gathers). Points whose intra-level displacement exceeds
+    M px clamp to the slab edge — in practice only points already beyond
+    LK's trackable range (window/2 per level), which the reference's own
+    filters discard."""
 
     win_size: tuple[int, int] = (45, 45)  # (w, h)
     max_level: int = 2
     max_iters: int = 10
     eps: float = 0.03
     min_eig_threshold: float = 1e-4
+    slab_margin: int | None = None
 
     @property
     def win_area(self) -> int:
@@ -44,7 +54,17 @@ TRACKER_LK = LKParams(win_size=(15, 15), max_level=2, max_iters=10, eps=0.03)
 
 @dataclasses.dataclass(frozen=True)
 class FarnebackParams:
-    """Farneback dense-flow parameters (cv2.calcOpticalFlowFarneback parity)."""
+    """Farneback dense-flow parameters (cv2.calcOpticalFlowFarneback parity).
+
+    warp_mode selects how the second frame's polynomial coefficients are
+    displaced by the current flow each iteration:
+      - "exact": bilinear warp of the 5 coefficient channels — OpenCV
+        semantics, ~1e-5 px EPE vs cv2 (the golden-test path);
+      - "image": warp the grayscale image once per iteration and re-expand
+        — 5x fewer gathered elements (gathers are the TPU bottleneck),
+        first-order-equivalent for locally smooth flow; EPE vs cv2 stays
+        well inside the 0.5 px budget (see tests/test_farneback.py).
+    """
 
     pyr_scale: float = 0.5
     levels: int = 3
@@ -53,6 +73,7 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # flags=0 in the reference -> box filter
+    warp_mode: str = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

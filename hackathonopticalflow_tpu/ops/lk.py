@@ -37,7 +37,7 @@ from jax import lax
 
 from ..core.config import LKParams
 from .deriv import scharr_deriv
-from .patch import extract_patches
+from .patch import blend_bilinear, extract_patches, extract_slabs, select_windows
 from .pyramid import build_pyramid
 
 _FLT_EPSILON = 1.1920929e-07
@@ -109,6 +109,31 @@ def _level_lk(
 
     next_tl0 = next_center - halfwin
 
+    if params.slab_margin is not None:
+        # fast path: one slab per point; iteration windows come from
+        # masked static slices instead of per-iteration dynamic slices
+        margin = params.slab_margin
+        m2 = 2 * margin
+        slab_s = max(win_w, win_h) + m2 + 2
+        slab_base = jnp.floor(next_tl0).astype(jnp.int32) - margin + pad  # [x,y]
+        hp, wp = img_next_p.shape
+        slab_base = jnp.clip(
+            slab_base, 0, jnp.array([wp - slab_s, hp - slab_s], jnp.int32)
+        )
+        slabs = extract_slabs(img_next_p, slab_base, slab_s)
+
+        def sample_next(next_tl):
+            itl = jnp.floor(next_tl)
+            frac = (next_tl - itl).astype(slabs.dtype)
+            offsets = itl.astype(jnp.int32) + pad - slab_base
+            raw = select_windows(slabs, offsets, win_h, win_w, m2)
+            return blend_bilinear(raw, frac, win_h, win_w)
+
+    else:
+
+        def sample_next(next_tl):
+            return extract_patches(img_next_p, next_tl + pad_off, win_h, win_w)
+
     def body(j, carry):
         next_tl, prev_delta, active, status = carry
         inext = jnp.floor(next_tl)
@@ -122,7 +147,7 @@ def _level_lk(
             status = status & ~(active & oob)
         active = active & ~oob
 
-        jw = _fix(extract_patches(img_next_p, next_tl + pad_off, win_h, win_w))
+        jw = _fix(sample_next(next_tl))
         diff = jw - iw
         b1 = jnp.sum(diff * ixw, axis=(1, 2)) * _CV_SCALE
         b2 = jnp.sum(diff * iyw, axis=(1, 2)) * _CV_SCALE

@@ -37,6 +37,14 @@ def extract_patches(
         return lax.dynamic_slice(img, (p[1], p[0]), (size_h + 1, size_w + 1))
 
     raw = jax.vmap(slice_one)(ipi)  # (N, size_h+1, size_w+1)
+    return blend_bilinear(raw, frac, size_h, size_w)
+
+
+def blend_bilinear(
+    raw: jnp.ndarray, frac: jnp.ndarray, size_h: int, size_w: int
+) -> jnp.ndarray:
+    """Blend the four integer shifts of (N, size_h+1, size_w+1) patches
+    with per-patch shared bilinear weights -> (N, size_h, size_w)."""
     ax = frac[:, 0][:, None, None]
     ay = frac[:, 1][:, None, None]
     w00 = (1 - ax) * (1 - ay)
@@ -49,3 +57,35 @@ def extract_patches(
         + raw[:, 1:, :size_w] * w01
         + raw[:, 1:, 1:] * w11
     )
+
+
+def extract_slabs(img: jnp.ndarray, top_left_int: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, size, size) integer-aligned slabs (one big dynamic slice per
+    point — slice-priced, cheap). top_left_int: (N, 2) int32 [x, y]."""
+
+    def slice_one(p):
+        return lax.dynamic_slice(img, (p[1], p[0]), (size, size))
+
+    return jax.vmap(slice_one)(top_left_int)
+
+
+def select_windows(
+    slabs: jnp.ndarray, offsets: jnp.ndarray, win_h: int, win_w: int, margin2: int
+) -> jnp.ndarray:
+    """Extract (win_h+1, win_w+1) windows from per-point slabs at integer
+    offsets in [0, margin2] per axis — via masked STATIC slices (no
+    gathers; the TPU fast path for LK's iteration sampling).
+
+    slabs:   (N, S, S) with S >= max(win)+margin2+1
+    offsets: (N, 2) int32 [ox, oy], clipped to [0, margin2]
+    """
+    n, s, _ = slabs.shape
+    ox = jnp.clip(offsets[:, 0], 0, margin2)[:, None, None]
+    oy = jnp.clip(offsets[:, 1], 0, margin2)[:, None, None]
+    rows = jnp.zeros((n, win_h + 1, s), slabs.dtype)
+    for k in range(margin2 + 1):
+        rows = rows + jnp.where(oy == k, slabs[:, k : k + win_h + 1, :], 0.0)
+    out = jnp.zeros((n, win_h + 1, win_w + 1), slabs.dtype)
+    for k in range(margin2 + 1):
+        out = out + jnp.where(ox == k, rows[:, :, k : k + win_w + 1], 0.0)
+    return out

@@ -26,6 +26,22 @@ def bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.n
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
 
+    if img.ndim == 2 and x0.shape == y0.shape:
+        # flattened-index element gathers: the fast XLA gather form on TPU
+        lin = (y0 * w + x0).reshape(-1)
+        shape = x0.shape
+        corners = jnp.stack(
+            [lin, lin + (x1 - x0).reshape(-1), (y1 - y0).reshape(-1) * w + lin,
+             (y1 - y0).reshape(-1) * w + lin + (x1 - x0).reshape(-1)],
+            axis=0,
+        )
+        vals = jnp.take(img.reshape(-1), corners, axis=0).reshape((4,) + shape)
+        w00 = (1 - ax) * (1 - ay)
+        w10 = ax * (1 - ay)
+        w01 = (1 - ax) * ay
+        w11 = ax * ay
+        return vals[0] * w00 + vals[1] * w10 + vals[2] * w01 + vals[3] * w11
+
     def gather(yy, xx):
         return img[..., yy, xx]
 
