@@ -42,6 +42,9 @@ class LKParams:
     eps: float = 0.03
     min_eig_threshold: float = 1e-4
     slab_margin: int | None = None
+    #: run the iteration loop as the Pallas VMEM kernel (ops/lk_pallas.py);
+    #: implies a slab margin (slab_margin or 8). Interpreted off-TPU.
+    use_pallas: bool = False
 
     @property
     def win_area(self) -> int:

@@ -109,6 +109,50 @@ def _level_lk(
 
     next_tl0 = next_center - halfwin
 
+    if params.use_pallas:
+        from .lk_pallas import lk_iterate
+
+        margin = params.slab_margin if params.slab_margin is not None else 8
+        m2 = 2 * margin
+        slab_s = max(win_w, win_h) + m2 + 2
+        slab_base = jnp.floor(next_tl0).astype(jnp.int32) - margin + pad
+        hp, wp = img_next_p.shape
+        slab_base = jnp.clip(
+            slab_base, 0, jnp.array([wp - slab_s, hp - slab_s], jnp.int32)
+        )
+        slabs = extract_slabs(img_next_p, slab_base, slab_s)
+        amat = jnp.stack([a11, a12, a22, inv_det], axis=-1)
+        block_n = 8
+        n = pts.shape[0]
+        n_pad = (-n) % block_n
+        if n_pad:
+            padder = lambda x: jnp.concatenate([x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)])
+            iw_p, ixw_p, iyw_p, slabs_p = map(padder, (iw, ixw, iyw, slabs))
+            sb_p, tl_p, am_p = map(padder, (slab_base, next_tl0, amat))
+            act_p = jnp.concatenate([~bad_tmpl, jnp.zeros((n_pad,), bool)])
+            st_p = jnp.concatenate([status, jnp.zeros((n_pad,), bool)])
+        else:
+            iw_p, ixw_p, iyw_p, slabs_p = iw, ixw, iyw, slabs
+            sb_p, tl_p, am_p = slab_base, next_tl0, amat
+            act_p, st_p = ~bad_tmpl, status
+        next_tl, status_out = lk_iterate(
+            iw_p, ixw_p, iyw_p, slabs_p, sb_p, tl_p, am_p, act_p, st_p,
+            pad=pad, margin2=m2, win_w=win_w, win_h=win_h,
+            level_w=w, level_h=h, max_iters=params.max_iters,
+            eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
+            block_n=block_n,
+        )
+        next_tl = next_tl[:n]
+        status = status_out[:n]
+        next_center_out = next_tl + halfwin
+        if level == 0:
+            jw = extract_patches(img_next_p, next_tl + pad_off, win_h, win_w)
+            err = jnp.sum(jnp.abs(jw - iw), axis=(1, 2)) / (win_w * win_h)
+            err = jnp.where(status, err, 0.0)
+        else:
+            err = jnp.zeros(pts.shape[0], jnp.float32)
+        return next_center_out, status, err
+
     if params.slab_margin is not None:
         # fast path: one slab per point; iteration windows come from
         # masked static slices instead of per-iteration dynamic slices
