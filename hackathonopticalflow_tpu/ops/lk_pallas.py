@@ -68,14 +68,15 @@ def lk_iterate(
     s = slabs.shape[-1]
     roll_bits = [b for b in (64, 32, 16, 8, 4, 2, 1) if b <= margin2]
 
-    def kernel(iw_r, ixw_r, iyw_r, slab_r, base_r, tl0_r, a_r, act_r, st_r,
-               out_tl_r, out_st_r):
-        a11 = a_r[0, 0]
-        a12 = a_r[0, 1]
-        a22 = a_r[0, 2]
-        inv_det = a_r[0, 3]
-        base_x = base_r[0, 0]
-        base_y = base_r[0, 1]
+    def kernel(bx_sm, by_sm, tx_sm, ty_sm, a11_sm, a12_sm, a22_sm, idet_sm,
+               act_sm, st_sm, iw_r, ixw_r, iyw_r, slab_r, out_r):
+        i = pl.program_id(0)
+        a11 = a11_sm[i]
+        a12 = a12_sm[i]
+        a22 = a22_sm[i]
+        inv_det = idet_sm[i]
+        base_x = bx_sm[i]
+        base_y = by_sm[i]
         iw_v = iw_r[0]
         ixw_v = ixw_r[0]
         iyw_v = iyw_r[0]
@@ -129,55 +130,59 @@ def lk_iterate(
             max_iters,
             body,
             (
-                tl0_r[0, 0],
-                tl0_r[0, 1],
+                tx_sm[i],
+                ty_sm[i],
                 jnp.float32(0.0),
                 jnp.float32(0.0),
-                act_r[0, 0] != 0,
-                st_r[0, 0] != 0,
+                act_sm[i] != 0,
+                st_sm[i] != 0,
             ),
         )
-        out_tl_r[0, 0] = tlx
-        out_tl_r[0, 1] = tly
-        out_st_r[0, 0] = status.astype(jnp.int32)
+        # pack scalars into lanes of the (1, 128) output row
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        vec = jnp.where(
+            lane == 0,
+            tlx,
+            jnp.where(lane == 1, tly, status.astype(jnp.float32)),
+        )
+        out_r[0] = vec
 
     def vspec(*shape):
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape))
+        return pl.BlockSpec((1,) + shape, lambda i, *_: (i,) + (0,) * len(shape))
 
-    def sspec(*shape):
-        return pl.BlockSpec(
-            (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.SMEM
-        )
-
-    out_tl, out_st = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
         grid=(n,),
         in_specs=[
             vspec(win_h, win_w),
             vspec(win_h, win_w),
             vspec(win_h, win_w),
             vspec(s, s),
-            sspec(2),
-            sspec(2),
-            sspec(4),
-            sspec(1),
-            sspec(1),
         ],
-        out_specs=(sspec(2), sspec(1)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        ),
+        out_specs=vspec(1, 128),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
+        slab_base[:, 0],
+        slab_base[:, 1],
+        next_tl0[:, 0],
+        next_tl0[:, 1],
+        amat[:, 0],
+        amat[:, 1],
+        amat[:, 2],
+        amat[:, 3],
+        active0.astype(jnp.int32),
+        status0.astype(jnp.int32),
         iw,
         ixw,
         iyw,
         slabs,
-        slab_base,
-        next_tl0,
-        amat,
-        active0.astype(jnp.int32)[:, None],
-        status0.astype(jnp.int32)[:, None],
     )
-    return out_tl, out_st[:, 0] != 0
+    next_tl = out[:, 0, :2]
+    status = out[:, 0, 2] > 0.5
+    return next_tl, status
