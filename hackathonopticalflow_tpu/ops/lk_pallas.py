@@ -2,24 +2,24 @@
 
 The XLA formulation of LK's inner loop re-extracts every point's window
 from HBM on every Gauss-Newton iteration (10 dynamic slices per point per
-level — slice-loop bound, ~1.4 us each on this hardware). This kernel
-keeps each point's search slab resident in VMEM and runs ALL iterations
-on-chip: per iteration the window is a VMEM sublane dynamic slice at the
-point's current integer row offset; the column offset (lane dimension,
-not dynamically addressable on TPU) is realized as a log2 ladder of
-static circular rolls + selects. The window is bilinearly blended with
-the point's shared fractional weights, quantized to OpenCV's 1/32
-fixed-point grid, and reduced against the VMEM-resident template and
-gradient windows. HBM traffic collapses to ONE read of slabs + templates,
-auto-pipelined across the point grid.
+level — slice-loop bound on this hardware). This kernel keeps a BLOCK of
+points' search slabs resident in VMEM and runs ALL iterations on-chip,
+fully vectorized across the block:
 
-Mosaic-friendly structure: one point per program; all per-point scalars
-(slab origin, initial position, structure tensor, masks) live in SMEM;
-the Gauss-Newton state is carried as 0-D scalars through the fori_loop;
-vector compute touches only clean 2-D (win, S) / (win, win) tiles.
+- each point's integer window offset inside its slab is realized as a
+  log2 ladder of static circular rolls (pltpu.roll) masked per point —
+  sublane rolls for the row offset, lane rolls for the column offset
+  (the lane dimension is not dynamically addressable on TPU);
+- the windows are bilinearly blended with per-point fractional weights,
+  quantized to OpenCV's 1/32 fixed-point grid, and reduced against the
+  VMEM-resident template/gradient windows — (B, win, win) VPU math;
+- Gauss-Newton state (positions, deltas, masks) is carried as (1, B)
+  lane vectors through the fori_loop; per-point inputs arrive as
+  (N/B, 1, B) VMEM rows; results leave as a packed (N/B, 8, B) tile.
 
-Numerics are identical to ops/lk.py's exact path (same masks, step,
-eps and oscillation-damping schedule); points whose intra-level
+HBM traffic collapses to ONE read of slabs + templates, auto-pipelined
+across the block grid. Numerics are identical to ops/lk.py's exact path
+(same masks, step, eps and oscillation damping); points whose intra-level
 displacement leaves the slab clamp at its edge (only points already
 beyond LK's trackable range). Enabled by LKParams.use_pallas; runs in
 interpreter mode off-TPU so tests cover it everywhere.
@@ -60,29 +60,34 @@ def lk_iterate(
     max_iters: int,
     eps2: float,
     is_level0: bool,
-    block_n: int = 1,  # kept for API stability; kernel is one point/program
+    block_n: int = 32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the per-level LK iterations; returns (next_tl, status)."""
-    del block_n
     n = iw.shape[0]
+    assert n % block_n == 0, "caller pads the point count to block_n"
+    b = block_n
+    nb = n // b
     s = slabs.shape[-1]
-    roll_bits = [b for b in (64, 32, 16, 8, 4, 2, 1) if b <= margin2]
+    roll_bits = [t for t in (64, 32, 16, 8, 4, 2, 1) if t <= margin2]
 
-    def kernel(bx_sm, by_sm, tx_sm, ty_sm, a11_sm, a12_sm, a22_sm, idet_sm,
-               act_sm, st_sm, iw_r, ixw_r, iyw_r, slab_r, out_r):
-        i = pl.program_id(0)
-        a11 = a11_sm[i]
-        a12 = a12_sm[i]
-        a22 = a22_sm[i]
-        inv_det = idet_sm[i]
-        base_x = bx_sm[i]
-        base_y = by_sm[i]
-        iw_v = iw_r[0]
-        ixw_v = ixw_r[0]
-        iyw_v = iyw_r[0]
+    def kernel(iw_r, ixw_r, iyw_r, slab_r, bx_r, by_r, tx_r, ty_r,
+               a11_r, a12_r, a22_r, idet_r, act_r, st_r, out_r):
+        def row(ref):
+            return ref[0]  # (1, b) lane vector
+
+        a11 = row(a11_r)
+        a12 = row(a12_r)
+        a22 = row(a22_r)
+        inv_det = row(idet_r)
+        base_x = row(bx_r).astype(jnp.int32)
+        base_y = row(by_r).astype(jnp.int32)
+        iw_v = iw_r[:]
+        ixw_v = ixw_r[:]
+        iyw_v = iyw_r[:]
+        slab_v = slab_r[:]
 
         def body(j, carry):
-            tlx, tly, pdx, pdy, active, status = carry
+            tlx, tly, pdx, pdy, active, status = carry  # (1, b) each
             ix = jnp.floor(tlx)
             iy = jnp.floor(tly)
             oob = (ix < -win_w) | (ix >= level_w) | (iy < -win_h) | (iy >= level_h)
@@ -90,25 +95,29 @@ def lk_iterate(
                 status = status & ~(active & oob)
             active = active & ~oob
 
-            ax = (tlx - ix).astype(jnp.float32)
-            ay = (tly - iy).astype(jnp.float32)
+            ax = (tlx - ix).reshape(b, 1, 1)
+            ay = (tly - iy).reshape(b, 1, 1)
             ox = jnp.clip(ix.astype(jnp.int32) + pad - base_x, 0, margin2)
             oy = jnp.clip(iy.astype(jnp.int32) + pad - base_y, 0, margin2)
+            oxm = ox.reshape(b, 1, 1)
+            oym = oy.reshape(b, 1, 1)
 
-            rows = slab_r[0, pl.ds(oy, win_h + 1), :]  # (win_h+1, S)
-            for b in roll_bits:
-                # left-roll by b == roll by (S - b) (shift must be >= 0)
-                rows = jnp.where((ox & b) != 0, pltpu.roll(rows, s - b, 1), rows)
-            sub = rows[:, : win_w + 1]
+            x = slab_v
+            for t in roll_bits:
+                # left-roll by t == roll by (S - t); masked per point
+                x = jnp.where((oym & t) != 0, pltpu.roll(x, s - t, 1), x)
+            for t in roll_bits:
+                x = jnp.where((oxm & t) != 0, pltpu.roll(x, s - t, 2), x)
+            sub = x[:, : win_h + 1, : win_w + 1]
             jw = _fix(
-                sub[:win_h, :win_w] * (1 - ax) * (1 - ay)
-                + sub[:win_h, 1:] * ax * (1 - ay)
-                + sub[1:, :win_w] * (1 - ax) * ay
-                + sub[1:, 1:] * ax * ay
+                sub[:, :win_h, :win_w] * (1 - ax) * (1 - ay)
+                + sub[:, :win_h, 1:] * ax * (1 - ay)
+                + sub[:, 1:, :win_w] * (1 - ax) * ay
+                + sub[:, 1:, 1:] * ax * ay
             )
             diff = jw - iw_v
-            b1 = jnp.sum(diff * ixw_v) * _CV_SCALE
-            b2 = jnp.sum(diff * iyw_v) * _CV_SCALE
+            b1 = (jnp.sum(diff * ixw_v, axis=(1, 2)) * _CV_SCALE).reshape(1, b)
+            b2 = (jnp.sum(diff * iyw_v, axis=(1, 2)) * _CV_SCALE).reshape(1, b)
             dx = (a12 * b2 - a22 * b1) * inv_det
             dy = (a12 * b1 - a11 * b2) * inv_det
             tlx = jnp.where(active, tlx + dx, tlx)
@@ -125,64 +134,77 @@ def lk_iterate(
             active = active & ~(converged | osc)
             return tlx, tly, dx, dy, active, status
 
+        def rrow(ref):
+            return ref[0]
+
+        zero = jnp.zeros((1, b), jnp.float32)
         tlx, tly, _, _, _, status = lax.fori_loop(
             0,
             max_iters,
             body,
             (
-                tx_sm[i],
-                ty_sm[i],
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-                act_sm[i] != 0,
-                st_sm[i] != 0,
+                rrow(tx_r),
+                rrow(ty_r),
+                zero,
+                zero,
+                rrow(act_r) != 0,
+                rrow(st_r) != 0,
             ),
         )
-        # pack scalars into lanes of the (1, 128) output row
-        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        vec = jnp.where(
-            lane == 0,
-            tlx,
-            jnp.where(lane == 1, tly, status.astype(jnp.float32)),
+        # pack [tlx, tly, status] into rows of the (8, b) output tile
+        r_idx = lax.broadcasted_iota(jnp.int32, (8, b), 0)
+        out_r[0] = jnp.where(
+            r_idx == 0, tlx, jnp.where(r_idx == 1, tly, status.astype(jnp.float32))
         )
-        out_r[0] = vec
 
-    def vspec(*shape):
-        return pl.BlockSpec((1,) + shape, lambda i, *_: (i,) + (0,) * len(shape))
+    def wspec(*shape):
+        return pl.BlockSpec((b,) + shape, lambda i: (i,) + (0,) * len(shape))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
-        grid=(n,),
-        in_specs=[
-            vspec(win_h, win_w),
-            vspec(win_h, win_w),
-            vspec(win_h, win_w),
-            vspec(s, s),
-        ],
-        out_specs=vspec(1, 128),
-    )
+    def rspec():
+        return pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0))
+
+    def as_rows(x):
+        return x.astype(jnp.float32).reshape(nb, 1, b)
 
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            wspec(win_h, win_w),
+            wspec(win_h, win_w),
+            wspec(win_h, win_w),
+            wspec(s, s),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+            rspec(),
+        ],
+        out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
-        slab_base[:, 0],
-        slab_base[:, 1],
-        next_tl0[:, 0],
-        next_tl0[:, 1],
-        amat[:, 0],
-        amat[:, 1],
-        amat[:, 2],
-        amat[:, 3],
-        active0.astype(jnp.int32),
-        status0.astype(jnp.int32),
         iw,
         ixw,
         iyw,
         slabs,
+        as_rows(slab_base[:, 0].astype(jnp.float32)),
+        as_rows(slab_base[:, 1].astype(jnp.float32)),
+        as_rows(next_tl0[:, 0]),
+        as_rows(next_tl0[:, 1]),
+        as_rows(amat[:, 0]),
+        as_rows(amat[:, 1]),
+        as_rows(amat[:, 2]),
+        as_rows(amat[:, 3]),
+        as_rows(active0),
+        as_rows(status0),
     )
-    next_tl = out[:, 0, :2]
-    status = out[:, 0, 2] > 0.5
-    return next_tl, status
+    tlx = out[:, 0, :].reshape(n)
+    tly = out[:, 1, :].reshape(n)
+    status = out[:, 2, :].reshape(n) > 0.5
+    return jnp.stack([tlx, tly], axis=-1), status
