@@ -111,6 +111,28 @@ def channel_histograms(img_bgr: np.ndarray) -> dict:
     return {"hists": hists, "hue_view": hue_view}
 
 
+def open_images(images, names: str = "Name") -> None:
+    """Interactive multi-window display (Operations.open_images,
+    Operations.py:72-87): auto-generated window names, Esc or closing the
+    first window exits. Requires cv2 + a display; no-op headless."""
+    import cv2
+
+    if not isinstance(images, (list, tuple)):
+        images = [images]
+    name_list = names.split()
+    if len(name_list) != len(images):
+        name_list = [name_list[0]] + [f"{name_list[0]}{i}" for i in range(1, len(images))]
+    try:
+        for name, image in zip(name_list, images):
+            cv2.imshow(name, np.asarray(image))
+        while cv2.getWindowProperty(name_list[0], cv2.WND_PROP_VISIBLE) >= 1:
+            if (0xFF & cv2.waitKey(1)) == 27:
+                break
+        cv2.destroyAllWindows()
+    except cv2.error:  # headless environment
+        cv2.destroyAllWindows()
+
+
 def export_raw_gray(src: str, dst: str, max_frames: int | None = None) -> tuple[int, int, int]:
     """Decode to raw concatenated gray frames (the native prefetcher's
     input format). Returns (n_frames, height, width)."""

@@ -13,9 +13,11 @@ fully vectorized across the block:
 - the windows are bilinearly blended with per-point fractional weights,
   quantized to OpenCV's 1/32 fixed-point grid, and reduced against the
   VMEM-resident template/gradient windows — (B, win, win) VPU math;
-- Gauss-Newton state (positions, deltas, masks) is carried as (1, B)
-  lane vectors through the fori_loop; per-point inputs arrive as
-  (N/B, 1, B) VMEM rows; results leave as a packed (N/B, 8, B) tile.
+- Gauss-Newton state (positions, deltas, masks) is carried as (B, 1)
+  sublane vectors through the fori_loop (lane<->sublane transposes are
+  unsupported; keeping the point index on sublanes lets the same vectors
+  broadcast over the (B, win, win) tiles); per-point inputs arrive as
+  (N/B, B, 1) VMEM columns; results leave as a packed (N/B, B, 8) tile.
 
 HBM traffic collapses to ONE read of slabs + templates, auto-pipelined
 across the block grid. Numerics are identical to ops/lk.py's exact path
@@ -73,7 +75,7 @@ def lk_iterate(
     def kernel(iw_r, ixw_r, iyw_r, slab_r, bx_r, by_r, tx_r, ty_r,
                a11_r, a12_r, a22_r, idet_r, act_r, st_r, out_r):
         def row(ref):
-            return ref[0]  # (1, b) lane vector
+            return ref[0]  # (b, 1) sublane vector
 
         a11 = row(a11_r)
         a12 = row(a12_r)
@@ -87,7 +89,11 @@ def lk_iterate(
         slab_v = slab_r[:]
 
         def body(j, carry):
-            tlx, tly, pdx, pdy, active, status = carry  # (1, b) each
+            # masks travel as f32 0/1 (boolean vector loop carries fail to
+            # legalize in Mosaic)
+            tlx, tly, pdx, pdy, active_f, status_f = carry  # (b, 1) each
+            active = active_f > 0.5
+            status = status_f > 0.5
             ix = jnp.floor(tlx)
             iy = jnp.floor(tly)
             oob = (ix < -win_w) | (ix >= level_w) | (iy < -win_h) | (iy >= level_h)
@@ -95,7 +101,7 @@ def lk_iterate(
                 status = status & ~(active & oob)
             active = active & ~oob
 
-            ax = (tlx - ix).reshape(b, 1, 1)
+            ax = (tlx - ix).reshape(b, 1, 1)  # (b,1) -> (b,1,1): same layout
             ay = (tly - iy).reshape(b, 1, 1)
             ox = jnp.clip(ix.astype(jnp.int32) + pad - base_x, 0, margin2)
             oy = jnp.clip(iy.astype(jnp.int32) + pad - base_y, 0, margin2)
@@ -116,8 +122,8 @@ def lk_iterate(
                 + sub[:, 1:, 1:] * ax * ay
             )
             diff = jw - iw_v
-            b1 = (jnp.sum(diff * ixw_v, axis=(1, 2)) * _CV_SCALE).reshape(1, b)
-            b2 = (jnp.sum(diff * iyw_v, axis=(1, 2)) * _CV_SCALE).reshape(1, b)
+            b1 = jnp.sum(jnp.sum(diff * ixw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
+            b2 = jnp.sum(jnp.sum(diff * iyw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
             dx = (a12 * b2 - a22 * b1) * inv_det
             dy = (a12 * b1 - a11 * b2) * inv_det
             tlx = jnp.where(active, tlx + dx, tlx)
@@ -132,13 +138,13 @@ def lk_iterate(
             tlx = jnp.where(active & osc, tlx - dx * 0.5, tlx)
             tly = jnp.where(active & osc, tly - dy * 0.5, tly)
             active = active & ~(converged | osc)
-            return tlx, tly, dx, dy, active, status
+            return tlx, tly, dx, dy, active.astype(jnp.float32), status.astype(jnp.float32)
 
         def rrow(ref):
             return ref[0]
 
-        zero = jnp.zeros((1, b), jnp.float32)
-        tlx, tly, _, _, _, status = lax.fori_loop(
+        zero = jnp.zeros((b, 1), jnp.float32)
+        tlx, tly, _, _, _, status_f = lax.fori_loop(
             0,
             max_iters,
             body,
@@ -147,24 +153,22 @@ def lk_iterate(
                 rrow(ty_r),
                 zero,
                 zero,
-                rrow(act_r) != 0,
-                rrow(st_r) != 0,
+                rrow(act_r),
+                rrow(st_r),
             ),
         )
-        # pack [tlx, tly, status] into rows of the (8, b) output tile
-        r_idx = lax.broadcasted_iota(jnp.int32, (8, b), 0)
-        out_r[0] = jnp.where(
-            r_idx == 0, tlx, jnp.where(r_idx == 1, tly, status.astype(jnp.float32))
-        )
+        # pack [tlx, tly, status] into lanes of the (b, 8) output tile
+        c_idx = lax.broadcasted_iota(jnp.int32, (b, 8), 1)
+        out_r[0] = jnp.where(c_idx == 0, tlx, jnp.where(c_idx == 1, tly, status_f))
 
     def wspec(*shape):
         return pl.BlockSpec((b,) + shape, lambda i: (i,) + (0,) * len(shape))
 
     def rspec():
-        return pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0))
+        return pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0))
 
     def as_rows(x):
-        return x.astype(jnp.float32).reshape(nb, 1, b)
+        return x.astype(jnp.float32).reshape(nb, b, 1)
 
     out = pl.pallas_call(
         kernel,
@@ -185,8 +189,8 @@ def lk_iterate(
             rspec(),
             rspec(),
         ],
-        out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
+        out_specs=pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, b, 8), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
         iw,
@@ -204,7 +208,7 @@ def lk_iterate(
         as_rows(active0),
         as_rows(status0),
     )
-    tlx = out[:, 0, :].reshape(n)
-    tly = out[:, 1, :].reshape(n)
-    status = out[:, 2, :].reshape(n) > 0.5
+    tlx = out[:, :, 0].reshape(n)
+    tly = out[:, :, 1].reshape(n)
+    status = out[:, :, 2].reshape(n) > 0.5
     return jnp.stack([tlx, tly], axis=-1), status
