@@ -280,25 +280,39 @@ def farneback(
             imgs.append(smoothed)
         r0 = poly_exp(imgs[0], params.poly_n, params.poly_sigma)
 
-        if params.warp_mode == "image":
+        if params.warp_mode in ("image", "hybrid"):
             from .warp import warp_image
 
-            def make_m(fl):
+            def make_m_img(fl):
                 r1w = poly_exp(
                     warp_image(imgs[1], fl), params.poly_n, params.poly_sigma
                 )
                 return update_matrices_prewarped(r0, r1w, fl)
 
-        else:
-
+        if params.warp_mode in ("exact", "hybrid"):
             r1 = poly_exp(imgs[1], params.poly_n, params.poly_sigma)
 
-            def make_m(fl):
+            def make_m_exact(fl):
                 return update_matrices(r0, r1, fl)
 
-        m = make_m(flow)
+        if params.warp_mode == "image":
+            make_m_iter = make_m_final = make_m_img
+        elif params.warp_mode == "hybrid":
+            # cheap image-space warps drive the early iterations; the
+            # level's final matrix update uses the exact coefficient warp
+            # so the Gauss-Newton step that produces the output flow is
+            # OpenCV-faithful (2x fewer gathered elements overall)
+            make_m_iter, make_m_final = make_m_img, make_m_exact
+        else:
+            make_m_iter = make_m_final = make_m_exact
+
+        m = make_m_iter(flow) if params.iterations > 1 else make_m_final(flow)
         for i in range(params.iterations):
             flow = update_flow_blur(m, params.win_size)
             if i < params.iterations - 1:
-                m = make_m(flow)
+                m = (
+                    make_m_final(flow)
+                    if i == params.iterations - 2
+                    else make_m_iter(flow)
+                )
     return flow

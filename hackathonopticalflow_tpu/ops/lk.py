@@ -37,7 +37,13 @@ from jax import lax
 
 from ..core.config import LKParams
 from .deriv import scharr_deriv
-from .patch import blend_bilinear, extract_patches, extract_slabs, select_windows
+from .patch import (
+    blend_bilinear,
+    extract_patches,
+    extract_patches_multi,
+    extract_slabs,
+    select_windows,
+)
 from .pyramid import build_pyramid
 
 _FLT_EPSILON = 1.1920929e-07
@@ -90,9 +96,12 @@ def _level_lk(
         # quantization for parity on ill-conditioned windows.
         return jnp.floor(x * 32.0 + 0.5) * (1.0 / 32.0)
 
-    iw = _fix(extract_patches(img_prev_p, tmpl_tl + pad_off, win_h, win_w))
-    ixw = _fix(extract_patches(dix_p, tmpl_tl + pad_off, win_h, win_w))
-    iyw = _fix(extract_patches(diy_p, tmpl_tl + pad_off, win_h, win_w))
+    tmpl = _fix(
+        extract_patches_multi(
+            jnp.stack([img_prev_p, dix_p, diy_p]), tmpl_tl + pad_off, win_h, win_w
+        )
+    )
+    iw, ixw, iyw = tmpl[:, 0], tmpl[:, 1], tmpl[:, 2]
 
     a11 = jnp.sum(ixw * ixw, axis=(1, 2)) * _CV_SCALE
     a12 = jnp.sum(ixw * iyw, axis=(1, 2)) * _CV_SCALE

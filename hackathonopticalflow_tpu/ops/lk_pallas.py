@@ -112,9 +112,10 @@ def lk_iterate(
             for t in roll_bits:
                 # left-roll by t == roll by (S - t); masked per point
                 x = jnp.where((oym & t) != 0, pltpu.roll(x, s - t, 1), x)
+            x = x[:, : win_h + 1, :]  # rows resolved: crop before lane work
             for t in roll_bits:
                 x = jnp.where((oxm & t) != 0, pltpu.roll(x, s - t, 2), x)
-            sub = x[:, : win_h + 1, : win_w + 1]
+            sub = x[:, :, : win_w + 1]
             jw = _fix(
                 sub[:, :win_h, :win_w] * (1 - ax) * (1 - ay)
                 + sub[:, :win_h, 1:] * ax * (1 - ay)

@@ -59,6 +59,35 @@ def blend_bilinear(
     )
 
 
+def extract_patches_multi(
+    imgs: jnp.ndarray, top_left: jnp.ndarray, size_h: int, size_w: int
+) -> jnp.ndarray:
+    """Multi-channel variant: sample (N, C, size_h, size_w) windows from a
+    (C, H, W) stack at shared fractional positions — ONE dynamic slice per
+    point instead of C (slices are the cost unit on TPU)."""
+    c = imgs.shape[0]
+    ip = jnp.floor(top_left)
+    frac = (top_left - ip).astype(imgs.dtype)
+    ipi = ip.astype(jnp.int32)
+
+    def slice_one(p):
+        return lax.dynamic_slice(imgs, (0, p[1], p[0]), (c, size_h + 1, size_w + 1))
+
+    raw = jax.vmap(slice_one)(ipi)  # (N, C, size_h+1, size_w+1)
+    ax = frac[:, 0][:, None, None, None]
+    ay = frac[:, 1][:, None, None, None]
+    w00 = (1 - ax) * (1 - ay)
+    w10 = ax * (1 - ay)
+    w01 = (1 - ax) * ay
+    w11 = ax * ay
+    return (
+        raw[:, :, :size_h, :size_w] * w00
+        + raw[:, :, :size_h, 1:] * w10
+        + raw[:, :, 1:, :size_w] * w01
+        + raw[:, :, 1:, 1:] * w11
+    )
+
+
 def extract_slabs(img: jnp.ndarray, top_left_int: jnp.ndarray, size: int) -> jnp.ndarray:
     """(N, size, size) integer-aligned slabs (one big dynamic slice per
     point — slice-priced, cheap). top_left_int: (N, 2) int32 [x, y]."""
