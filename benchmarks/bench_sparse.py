@@ -19,6 +19,7 @@ def log(*a):
 
 
 def main():
+    from hackathonopticalflow_tpu.core.config import LKParams
     from hackathonopticalflow_tpu.core.grid import measurement_grid
     from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow
 
@@ -55,12 +56,15 @@ def main():
 
     dev = jax.device_put(jnp.asarray(frames))
 
+    # Pallas VMEM-iteration kernel (ops/lk_pallas.py); identical numerics
+    lk_params = LKParams(use_pallas=True, slab_margin=16)
+
     @jax.jit
     def run_all(fr):
         frf = fr.astype(jnp.float32)
 
         def step(carry, i):
-            res = lk_grid_flow(frf[i + 1], frf[i], pts)
+            res = lk_grid_flow(frf[i + 1], frf[i], pts, lk=lk_params)
             return carry + jnp.sum(res.modulus), jnp.sum(res.good)
 
         tot, goods = jax.lax.scan(step, 0.0, jnp.arange(fr.shape[0] - 1))
