@@ -95,7 +95,7 @@ def cpu_sparse_baseline_fps(frames: np.ndarray, pts: np.ndarray, max_pairs: int 
 def main():
     from hackathonopticalflow_tpu.core.config import LKParams
     from hackathonopticalflow_tpu.core.grid import measurement_grid
-    from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow
+    from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow_video
 
     n_pairs = 8
     frames = load_frames(n_pairs)
@@ -112,14 +112,10 @@ def main():
 
     @jax.jit
     def run_all(fr):
-        frf = fr.astype(jnp.float32)
-
-        def step(carry, i):
-            res = lk_grid_flow(frf[i + 1], frf[i], pts, lk=lk_params)
-            return carry + jnp.sum(res.modulus), jnp.sum(res.good)
-
-        tot, goods = jax.lax.scan(step, 0.0, jnp.arange(fr.shape[0] - 1))
-        return tot
+        # viewer semantics are backward flow (current -> previous): feed
+        # the clip reversed so each step tracks frame t into frame t-1
+        res = lk_grid_flow_video(fr[::-1].astype(jnp.float32), pts, lk=lk_params)
+        return jnp.sum(res.modulus)
 
     t0 = time.perf_counter()
     _ = float(run_all(dev))

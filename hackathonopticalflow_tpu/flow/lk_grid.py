@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import FilterParams, LKParams, NormalizeParams
@@ -55,11 +56,51 @@ def lk_grid_flow(
 ) -> GridFlowResult:
     """prev_gray/gray: (H, W) grayscale float32 in [0, 255]; pts: (N, 2)."""
     h, w = gray.shape
-    half_w = int(w / 2)
-    half_h = int(h / 2)
-
     # backward flow: track grid points from current frame into previous
     res = pyr_lk(gray, prev_gray, pts, lk)
+    return _post_lk(res, pts, h, w, norm, filt)
+
+
+def lk_grid_flow_video(
+    frames: jnp.ndarray,
+    pts: jnp.ndarray,
+    lk: LKParams = LKParams(),
+    norm: NormalizeParams = NormalizeParams(),
+    filt: FilterParams = FilterParams(),
+) -> GridFlowResult:
+    """Whole-clip form: (T, H, W) frames -> GridFlowResult batched over the
+    T-1 frame steps, via one lax.scan that carries each frame's prepared
+    pyramid (each frame is prepared ONCE, not twice — the per-frame
+    pyramid/derivative/pad work halves vs calling lk_grid_flow per pair).
+    This is the device-resident shape benchmarks and batch apps use."""
+    from ..ops.lk import prepare_frame, pyr_lk_prepared
+
+    h, w = frames.shape[-2:]
+    pts = pts.astype(jnp.float32)
+    prep0 = prepare_frame(frames[0], lk)
+
+    def step(prev_prep, img):
+        cur_prep = prepare_frame(img, lk)
+        # viewer semantics: current frame is the LK template source
+        res = pyr_lk_prepared(cur_prep, prev_prep, pts, lk)
+        return cur_prep, _post_lk(res, pts, h, w, norm, filt)
+
+    _, results = jax.lax.scan(step, prep0, frames[1:])
+    return results
+
+
+def _post_lk(
+    res,
+    pts: jnp.ndarray,
+    h: int,
+    w: int,
+    norm: NormalizeParams,
+    filt: FilterParams,
+) -> GridFlowResult:
+    """Radial normalization + robust filtering + reference rounding
+    (pathfinder_viewer.py:159-176) applied to an LK result."""
+    half_w = int(w / 2)
+    half_h = int(h / 2)
     flow_raw = res.next_pts - pts
     fx, fy = flow_raw[:, 0], flow_raw[:, 1]
     x, y = pts[:, 0], pts[:, 1]

@@ -58,9 +58,34 @@ class LKResult(NamedTuple):
     err: jnp.ndarray  # (N,) float32 — mean |window residual| at level 0
 
 
+class PreparedFrame(NamedTuple):
+    """Per-frame precomputation shared by every LK call that touches the
+    frame: quantized pyramid levels and Scharr derivatives, already
+    border-padded for window sampling. In video scans each frame serves
+    as both 'previous' and 'current' of consecutive pairs — preparing it
+    once halves the pyramid/derivative/pad work (see lk_grid_flow_video)."""
+
+    img_p: tuple  # per level: (H+2p, W+2p) reflect-padded image
+    dix_p: tuple  # per level: zero-padded d/dx
+    diy_p: tuple  # per level: zero-padded d/dy
+
+
+def prepare_frame(img: jnp.ndarray, params: LKParams) -> PreparedFrame:
+    win_w, win_h = params.win_size
+    pad = max(win_w, win_h) + 2
+    pyr = build_pyramid(img.astype(jnp.float32), params.max_level, quantize_u8=True)
+    imgs, dxs, dys = [], [], []
+    for lv in pyr:
+        dx, dy = scharr_deriv(lv)
+        imgs.append(jnp.pad(lv, pad, mode="reflect"))
+        dxs.append(jnp.pad(dx, pad, mode="constant"))
+        dys.append(jnp.pad(dy, pad, mode="constant"))
+    return PreparedFrame(img_p=tuple(imgs), dix_p=tuple(dxs), diy_p=tuple(dys))
+
+
 def _level_lk(
-    img_prev: jnp.ndarray,
-    img_next: jnp.ndarray,
+    prev_prep: PreparedFrame,
+    next_prep: PreparedFrame,
     pts: jnp.ndarray,
     next_center: jnp.ndarray,
     status: jnp.ndarray,
@@ -71,15 +96,15 @@ def _level_lk(
     half_w = (win_w - 1) * 0.5
     half_h = (win_h - 1) * 0.5
     halfwin = jnp.array([half_w, half_h], jnp.float32)
-    h, w = img_prev.shape
     pad = max(win_w, win_h) + 2
     eps2 = jnp.float32(max(params.eps, 0.0) ** 2)
 
-    dix, diy = scharr_deriv(img_prev)
-    img_prev_p = jnp.pad(img_prev, pad, mode="reflect")
-    img_next_p = jnp.pad(img_next, pad, mode="reflect")
-    dix_p = jnp.pad(dix, pad, mode="constant")
-    diy_p = jnp.pad(diy, pad, mode="constant")
+    img_prev_p = prev_prep.img_p[level]
+    dix_p = prev_prep.dix_p[level]
+    diy_p = prev_prep.diy_p[level]
+    img_next_p = next_prep.img_p[level]
+    h = img_prev_p.shape[0] - 2 * pad
+    w = img_prev_p.shape[1] - 2 * pad
 
     scale = jnp.float32(1.0 / (1 << level))
     tmpl_tl = pts * scale - halfwin  # (N, 2) top-left of template window
@@ -249,14 +274,22 @@ def pyr_lk(
     Images are (H, W) float32 grayscale in [0, 255]. Returns OpenCV-layout
     results: next point positions, per-point status, residual error.
     """
-    img_prev = img_prev.astype(jnp.float32)
-    img_next = img_next.astype(jnp.float32)
+    # OpenCV stores LK pyramid levels as uint8; prepare_frame reproduces
+    # that rounding (and pre-pads everything for window sampling)
+    prep_prev = prepare_frame(img_prev, params)
+    prep_next = prepare_frame(img_next, params)
+    return pyr_lk_prepared(prep_prev, prep_next, pts, params)
+
+
+def pyr_lk_prepared(
+    prep_prev: PreparedFrame,
+    prep_next: PreparedFrame,
+    pts: jnp.ndarray,
+    params: LKParams = LKParams(),
+) -> LKResult:
+    """pyr_lk over frames prepared with prepare_frame — the form video
+    scans use so each frame's pyramid is built once, not twice."""
     pts = pts.astype(jnp.float32)
-
-    # OpenCV stores LK pyramid levels as uint8; reproduce that rounding.
-    pyr_prev = build_pyramid(img_prev, params.max_level, quantize_u8=True)
-    pyr_next = build_pyramid(img_next, params.max_level, quantize_u8=True)
-
     status = jnp.ones(pts.shape[0], dtype=bool)
     err = jnp.zeros(pts.shape[0], jnp.float32)
     next_center = pts * jnp.float32(1.0 / (1 << params.max_level))
@@ -264,8 +297,8 @@ def pyr_lk(
         if level != params.max_level:
             next_center = next_center * 2.0
         next_center, status, err = _level_lk(
-            pyr_prev[level],
-            pyr_next[level],
+            prep_prev,
+            prep_next,
             pts,
             next_center,
             status,

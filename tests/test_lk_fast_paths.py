@@ -55,3 +55,25 @@ def test_pallas_path_matches_exact(pair_and_pts):
     assert agree > 0.99
     assert d.mean() < 1e-3
     assert d.max() < 0.05
+
+
+def test_video_scan_matches_per_pair(pair_and_pts):
+    """lk_grid_flow_video must equal per-pair lk_grid_flow calls."""
+    import jax
+
+    from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow, lk_grid_flow_video
+
+    a, b, pts = pair_and_pts
+    frames = np.stack([a, b, a]).astype(np.float32)
+    params = LKParams(win_size=(21, 21), max_level=1, max_iters=5)
+    vid = jax.jit(lambda f, p: lk_grid_flow_video(f, p, lk=params))(
+        jnp.asarray(frames), jnp.asarray(pts)
+    )
+    for t in range(2):
+        ref = lk_grid_flow(
+            jnp.asarray(frames[t]), jnp.asarray(frames[t + 1]), jnp.asarray(pts), lk=params
+        )
+        np.testing.assert_allclose(
+            np.asarray(vid.next_pts[t]), np.asarray(ref.next_pts), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(vid.good[t]), np.asarray(ref.good))
