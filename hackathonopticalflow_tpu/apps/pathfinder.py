@@ -219,12 +219,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--step", type=int, default=30)
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--no-render", action="store_true")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="Pallas VMEM LK kernel (TPU fast path; ~1e-3 px vs exact)",
+    )
     args = p.parse_args(argv)
     cfg = PathfinderConfig(
         video=args.video,
         start_frame=args.start_frame,
         max_frames=args.max_frames,
         step=args.step,
+        lk=LKParams(use_pallas=True, slab_margin=16) if args.fast else LKParams(),
     )
     app = PathfinderApp(cfg)
     stats = app.run(

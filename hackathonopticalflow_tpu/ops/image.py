@@ -10,9 +10,6 @@ All functions take (..., H, W) float32 arrays and are jit-friendly
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -171,7 +168,3 @@ def threshold_binary(img: jnp.ndarray, thresh: float, maxval: float = 255.0) -> 
     """cv2.threshold(..., THRESH_BINARY) parity: img > thresh -> maxval else 0."""
     return jnp.where(img > thresh, jnp.asarray(maxval, img.dtype), jnp.asarray(0, img.dtype))
 
-
-@functools.lru_cache(maxsize=None)
-def _gauss_cache(ksize: int, sigma: float):
-    return gaussian_kernel1d(ksize, sigma)
