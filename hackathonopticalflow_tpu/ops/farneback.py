@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import FarnebackParams
@@ -119,7 +120,9 @@ def _border_factor(h: int, w: int) -> jnp.ndarray:
     return jnp.asarray(np.outer(axis_f(h), axis_f(w)))
 
 
-def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def update_matrices(
+    r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray, packed: bool = False
+) -> jnp.ndarray:
     """Build the 5-channel normal-equation field M from the polynomial
     coefficients of both frames and the current flow. (OpenCV
     FarnebackUpdateMatrices parity.)"""
@@ -139,6 +142,10 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
     x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
     y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
 
+    if packed:
+        w2 = _warp5_packed(r1, y1i, x1i, ax, ay, h, w)
+        return _assemble_m(r0, w2, inside, dx, dy, h, w)
+
     # flattened-index element gathers: measurably the fastest XLA gather
     # form on TPU (multi-element gather slices lower to slow slice loops)
     lin = (y1i * w + x1i).reshape(-1)
@@ -155,7 +162,12 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
         axis=1,
     )  # (4, 5, H, W)
     w2 = jnp.sum(vals * wts, axis=0)
+    return _assemble_m(r0, w2, inside, dx, dy, h, w)
 
+
+def _assemble_m(r0, w2, inside, dx, dy, h, w) -> jnp.ndarray:
+    """Averaging, delta-b linearization, border weighting and normal-
+    equation assembly shared by the warp variants."""
     r2 = jnp.where(inside, w2[0], 0.0)
     r3 = jnp.where(inside, w2[1], 0.0)
     r4 = jnp.where(inside, (r0[2] + w2[2]) * 0.5, r0[2])
@@ -184,6 +196,42 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
         ],
         axis=0,
     )
+
+
+def _warp5_packed(r1: jnp.ndarray, y1i, x1i, ax, ay, h, w) -> jnp.ndarray:
+    """Bilinear warp of the 5 coefficient channels with bf16 pairs packed
+    into u32 words: 12 gathered elements per pixel instead of 20 (element
+    count is the measured gather cost unit on TPU). The packed channels
+    round to bf16 (~0.4% rel) — used by warp_mode='packed'."""
+    def pack(a, b):
+        ab = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+        bb = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+        return ab.astype(jnp.uint32) | (bb.astype(jnp.uint32) << 16)
+
+    p01 = pack(r1[0], r1[1]).reshape(-1)
+    p23 = pack(r1[2], r1[3]).reshape(-1)
+    c4 = r1[4].reshape(-1)
+
+    lin = (y1i * w + x1i).reshape(-1)
+    corners = jnp.stack([lin, lin + 1, lin + w, lin + w + 1], axis=0)  # (4, N)
+    w00 = (1 - ax) * (1 - ay)
+    w10 = ax * (1 - ay)
+    w01 = (1 - ax) * ay
+    w11 = ax * ay
+    wts = jnp.stack([w00, w10, w01, w11], axis=0).reshape(4, h, w)
+
+    def unpack(u):
+        lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+        return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+    g01 = jnp.take(p01, corners, axis=0).reshape(4, h, w)
+    g23 = jnp.take(p23, corners, axis=0).reshape(4, h, w)
+    g4 = jnp.take(c4, corners, axis=0).reshape(4, h, w)
+    c0, c1 = unpack(g01)
+    c2, c3 = unpack(g23)
+    chans = [c0, c1, c2, c3, g4]
+    return jnp.stack([jnp.sum(ch * wts, axis=0) for ch in chans], axis=0)
 
 
 def update_matrices_prewarped(
@@ -289,11 +337,12 @@ def farneback(
                 )
                 return update_matrices_prewarped(r0, r1w, fl)
 
-        if params.warp_mode in ("exact", "hybrid"):
+        if params.warp_mode in ("exact", "hybrid", "packed"):
             r1 = poly_exp(imgs[1], params.poly_n, params.poly_sigma)
+            use_packed = params.warp_mode == "packed"
 
             def make_m_exact(fl):
-                return update_matrices(r0, r1, fl)
+                return update_matrices(r0, r1, fl, packed=use_packed)
 
         if params.warp_mode == "image":
             make_m_iter = make_m_final = make_m_img

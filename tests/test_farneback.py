@@ -76,3 +76,21 @@ def test_farneback_flow_batched():
     assert out.shape == (2, 48, 64, 2)
     single = farneback_flow(jnp.asarray(a[0]), jnp.asarray(b[0]), FarnebackParams(levels=1))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-5)
+
+
+@requires_cv2
+def test_farneback_packed_mode_within_budget(frame_pair_small):
+    """warp_mode='packed' (bf16-pair gathers) must stay far inside the
+    0.5 px budget vs cv2 — measured ~1e-3 px mean on the corpus."""
+    a, b = frame_pair_small
+    ref = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    ours = np.asarray(
+        farneback(
+            jnp.asarray(a, jnp.float32),
+            jnp.asarray(b, jnp.float32),
+            FarnebackParams(warp_mode="packed"),
+        )
+    )
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    assert epe.mean() < 0.02
+    assert np.percentile(epe, 99) < 0.2
