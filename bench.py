@@ -1,24 +1,23 @@
-"""Benchmark: the flagship pathfinder pipeline (grid LK flow -> radial
-normalize -> robust filter) at 1080p on one chip, vs the same OpenCV
-pipeline on this host's CPU — the reference's headline path
-(pathfinder_viewer.py, ~10 fps on its hackathon laptop).
+"""Benchmark: dense Farneback flow at 720p on one chip — the driver's
+headline metric (BASELINE.json: "dense-flow frames/s/chip at 720p") —
+vs OpenCV's calcOpticalFlowFarneback on this host's CPU.
 
 Prints exactly ONE JSON line to stdout:
-    {"metric": "sparse_pipeline_fps_1080p", "value": N,
+    {"metric": "dense_flow_fps_720p", "value": N,
      "unit": "frames/s/chip", "vs_baseline": N / cpu_fps}
 
 Method:
 - frames decoded from the reference corpus (synthetic fallback);
-- CPU baseline: cv2.calcOpticalFlowPyrLK + the reference's normalize/
-  filter math per frame;
+- CPU baseline: cv2.calcOpticalFlowFarneback with the reference's
+  parameters (DenseOF.py:127-157) per frame pair;
 - TPU: frames staged on device ONCE (the axon relay makes per-call
-  transfers pathological), one jitted lax.scan over all pairs using the
-  Pallas VMEM-iteration LK kernel (ops/lk_pallas.py; numerics ~1e-3 px
-  vs OpenCV); steady-state time over repeated scans with a scalar host
-  readback as the sync barrier.
+  transfers pathological), one jitted lax.scan over all pairs using
+  FarnebackParams(warp_mode='auto') -> the Pallas tiled-slab warp kernel
+  (ops/warp_pallas.py; ~6e-3 px EPE vs cv2); steady-state time over
+  repeated scans with a scalar host readback as the sync barrier.
 
-Secondary numbers (dense Farneback fps, configs) go to stderr and
-BASELINE.md; stdout stays machine-readable.
+Secondary numbers (sparse pathfinder pipeline fps, configs) go to stderr
+and BASELINE.md; stdout stays machine-readable.
 """
 
 from __future__ import annotations
@@ -37,7 +36,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def load_frames(n_pairs: int, h: int = 1080, w: int = 1920) -> np.ndarray:
+def load_frames(n_pairs: int, h: int, w: int) -> np.ndarray:
     """(n_pairs+1, h, w) uint8 gray frames."""
     try:
         import cv2
@@ -69,42 +68,90 @@ def load_frames(n_pairs: int, h: int = 1080, w: int = 1920) -> np.ndarray:
     )
 
 
-def cpu_sparse_baseline_fps(frames: np.ndarray, pts: np.ndarray, max_pairs: int = 5):
-    """The reference pipeline on this CPU (cv2 LK + normalize + filter)."""
+def steady_fps(run, arg, n_pairs, reps=3, label=""):
+    t0 = time.perf_counter()
+    _ = float(run(arg))
+    log(f"{label}: compile+first {time.perf_counter() - t0:.1f}s")
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(arg))
+        times.append(time.perf_counter() - t0)
+    fps = n_pairs / min(times)
+    log(f"{label}: {min(times):.3f}s / {n_pairs} pairs -> {fps:.2f} fps  {times}")
+    return fps
+
+
+def bench_dense(n_pairs: int = 8):
+    """Headline: dense Farneback 720p, ours vs cv2 CPU."""
+    from hackathonopticalflow_tpu.core.config import FarnebackParams
+    from hackathonopticalflow_tpu.flow.dense import farneback_flow
+
+    frames = load_frames(n_pairs, 720, 1280)
+    cpu_fps = None
     try:
         import cv2
+
+        n = min(4, n_pairs)
+        t0 = time.perf_counter()
+        for i in range(n):
+            cv2.calcOpticalFlowFarneback(
+                frames[i], frames[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0
+            )
+        cpu_fps = n / (time.perf_counter() - t0)
+        log(f"cpu cv2 Farneback 720p: {cpu_fps:.2f} fps")
     except Exception:
-        return None
-    h, w = frames.shape[1:]
-    n = min(max_pairs, len(frames) - 1)
-    t0 = time.perf_counter()
-    for i in range(n):
-        nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
-            frames[i + 1], frames[i], pts.reshape(-1, 1, 2), None,
-            winSize=(45, 45), maxLevel=2,
-            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
-        )
-        fl = nxt.reshape(-1, 2) - pts
-        m = np.linalg.norm(fl, axis=-1)
-        dc = np.linalg.norm(pts - [w / 2, h / 2], axis=-1)
-        m = m / (5 + np.sqrt(dc)) * 30
-        _ = (np.median(m) < m) & (m < np.percentile(m, 99))
-    return n / (time.perf_counter() - t0)
+        log("no cv2 cpu baseline")
+
+    dev = jax.device_put(jnp.asarray(frames, jnp.float32))
+    params = FarnebackParams()  # warp_mode='auto' -> Pallas kernel on TPU
+
+    @jax.jit
+    def run(fr):
+        def step(acc, pair):
+            fl = farneback_flow(pair[0], pair[1], params)
+            return acc + jnp.sum(jnp.abs(fl)), None
+
+        pairs = jnp.stack([fr[:-1], fr[1:]], axis=1)
+        acc, _ = jax.lax.scan(step, jnp.float32(0), pairs)
+        return acc
+
+    fps = steady_fps(run, dev, n_pairs, label="dense 720p (device)")
+    return fps, cpu_fps
 
 
-def main():
+def bench_sparse(n_pairs: int = 8):
+    """Secondary: the reference's headline sparse pathfinder pipeline at
+    1080p (grid LK -> radial normalize -> robust filter) vs cv2 CPU."""
     from hackathonopticalflow_tpu.core.config import LKParams
     from hackathonopticalflow_tpu.core.grid import measurement_grid
     from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow_video
 
-    n_pairs = 8
-    frames = load_frames(n_pairs)
+    frames = load_frames(n_pairs, 1080, 1920)
     h, w = frames.shape[1:]
     pts_np = measurement_grid(h, w, 30)
-    log(f"frames {frames.shape}, {pts_np.shape[0]} grid points, {jax.devices()[0]}")
 
-    cpu_fps = cpu_sparse_baseline_fps(frames, pts_np)
-    log(f"cpu reference pipeline: {cpu_fps:.2f} fps" if cpu_fps else "no cpu baseline")
+    cpu_fps = None
+    try:
+        import cv2
+
+        n = min(5, n_pairs)
+        t0 = time.perf_counter()
+        for i in range(n):
+            nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
+                frames[i + 1], frames[i], pts_np.reshape(-1, 1, 2), None,
+                winSize=(45, 45), maxLevel=2,
+                criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+            )
+            fl = nxt.reshape(-1, 2) - pts_np
+            m = np.linalg.norm(fl, axis=-1)
+            dc = np.linalg.norm(pts_np - [w / 2, h / 2], axis=-1)
+            m = m / (5 + np.sqrt(dc)) * 30
+            _ = (np.median(m) < m) & (m < np.percentile(m, 99))
+        cpu_fps = n / (time.perf_counter() - t0)
+        log(f"cpu reference sparse pipeline 1080p: {cpu_fps:.2f} fps")
+    except Exception:
+        log("no cv2 cpu baseline")
 
     pts = jax.device_put(jnp.asarray(pts_np))
     dev = jax.device_put(jnp.asarray(frames))
@@ -117,23 +164,29 @@ def main():
         res = lk_grid_flow_video(fr[::-1].astype(jnp.float32), pts, lk=lk_params)
         return jnp.sum(res.modulus)
 
-    t0 = time.perf_counter()
-    _ = float(run_all(dev))
-    log(f"compile+first: {time.perf_counter() - t0:.1f}s")
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(run_all(dev))
-        times.append(time.perf_counter() - t0)
-    fps = n_pairs / min(times)
-    log(f"device: {min(times):.3f}s for {n_pairs} pairs -> {fps:.2f} fps; runs={times}")
+    fps = steady_fps(run_all, dev, n_pairs, label="sparse 1080p (device)")
+    return fps, cpu_fps
 
-    vs = fps / cpu_fps if cpu_fps else None
+
+def main():
+    log(f"device: {jax.devices()[0]}")
+    dense_fps, dense_cpu = bench_dense()
+    try:
+        sparse_fps, sparse_cpu = bench_sparse()
+        if sparse_cpu:
+            log(
+                f"secondary sparse_pipeline_fps_1080p: {sparse_fps:.2f} "
+                f"(vs_baseline {sparse_fps / sparse_cpu:.2f})"
+            )
+    except Exception as e:  # secondary must never break the contract
+        log("sparse secondary failed:", e)
+
+    vs = dense_fps / dense_cpu if dense_cpu else None
     print(
         json.dumps(
             {
-                "metric": "sparse_pipeline_fps_1080p",
-                "value": round(fps, 2),
+                "metric": "dense_flow_fps_720p",
+                "value": round(dense_fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
             }

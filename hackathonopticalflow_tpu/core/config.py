@@ -66,7 +66,18 @@ class FarnebackParams:
       - "image": warp the grayscale image once per iteration and re-expand
         — 5x fewer gathered elements (gathers are the TPU bottleneck),
         first-order-equivalent for locally smooth flow; EPE vs cv2 stays
-        well inside the 0.5 px budget (see tests/test_farneback.py).
+        well inside the 0.5 px budget (see tests/test_farneback.py);
+      - "hybrid": image-mode warps for the early iterations, exact
+        coefficient warp for each level's final matrix update;
+      - "packed": exact semantics with bf16-pair coefficient gathers
+        (12 elements/px instead of 20, ~1e-3 px EPE);
+      - "pallas": the tiled slab kernel (ops/warp_pallas.py) — no gathers
+        at all (~11x faster than 'packed' on-chip at 720p); samples
+        deviating >72/128 px from their tile's minimum sample clamp to
+        the slab edge (beyond the corpus' worst per-tile spread; ~6e-3 px
+        mean EPE vs cv2);
+      - "auto" (default): 'pallas' on TPU, 'exact' elsewhere (the slab
+        kernel only pays off on real hardware; interpret mode is slow).
     """
 
     pyr_scale: float = 0.5
@@ -76,7 +87,7 @@ class FarnebackParams:
     poly_n: int = 5
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # flags=0 in the reference -> box filter
-    warp_mode: str = "exact"
+    warp_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

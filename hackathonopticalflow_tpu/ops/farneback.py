@@ -26,6 +26,7 @@ ideal XLA/TPU form; the only gather is the bilinear coefficient warp.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -121,11 +122,15 @@ def _border_factor(h: int, w: int) -> jnp.ndarray:
 
 
 def update_matrices(
-    r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray, packed: bool = False
+    r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray, mode: str = "exact"
 ) -> jnp.ndarray:
     """Build the 5-channel normal-equation field M from the polynomial
     coefficients of both frames and the current flow. (OpenCV
-    FarnebackUpdateMatrices parity.)"""
+    FarnebackUpdateMatrices parity.)
+
+    mode selects the bilinear-warp implementation: 'exact' (flat element
+    gathers), 'packed' (bf16-pair gathers, 12 elements/px), or 'pallas'
+    (the tiled slab kernel in ops/warp_pallas.py — no gathers)."""
     _, h, w = r0.shape
     dx = flow[..., 0]
     dy = flow[..., 1]
@@ -142,7 +147,15 @@ def update_matrices(
     x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
     y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
 
-    if packed:
+    if mode == "pallas":
+        from .warp_pallas import supports, warp_bilinear_pallas
+
+        if supports(h, w):
+            w2 = warp_bilinear_pallas(r1, fx, fy)
+            return _assemble_m(r0, w2, inside, dx, dy, h, w)
+        mode = "exact"  # level too small for the slab geometry
+
+    if mode == "packed":
         w2 = _warp5_packed(r1, y1i, x1i, ax, ay, h, w)
         return _assemble_m(r0, w2, inside, dx, dy, h, w)
 
@@ -303,6 +316,9 @@ def farneback(
     prev = prev.astype(jnp.float32)
     nxt = nxt.astype(jnp.float32)
     h, w = prev.shape
+    if params.warp_mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+        params = dataclasses.replace(params, warp_mode=mode)
 
     flow = None
     for k in range(params.levels, -1, -1):
@@ -337,12 +353,12 @@ def farneback(
                 )
                 return update_matrices_prewarped(r0, r1w, fl)
 
-        if params.warp_mode in ("exact", "hybrid", "packed"):
+        if params.warp_mode in ("exact", "hybrid", "packed", "pallas"):
             r1 = poly_exp(imgs[1], params.poly_n, params.poly_sigma)
-            use_packed = params.warp_mode == "packed"
+            coef_mode = params.warp_mode if params.warp_mode != "hybrid" else "exact"
 
             def make_m_exact(fl):
-                return update_matrices(r0, r1, fl, packed=use_packed)
+                return update_matrices(r0, r1, fl, mode=coef_mode)
 
         if params.warp_mode == "image":
             make_m_iter = make_m_final = make_m_img

@@ -79,7 +79,7 @@ def test_so3_log_roundtrip():
         np.testing.assert_allclose(w2, w, atol=1e-5)
 
 
-def _synthetic_ba(m=4, l=48, noise=2e-3, pose_err=0.03, pt_err=0.15, seed=0):
+def _synthetic_ba(m=4, l=48, noise=2e-3, pose_err=0.03, pt_err=0.15, seed=0, step_scale=1.0):
     """Ground-truth window + perturbed initialization."""
     rng = np.random.RandomState(seed)
     X = np.stack(
@@ -87,8 +87,8 @@ def _synthetic_ba(m=4, l=48, noise=2e-3, pose_err=0.03, pt_err=0.15, seed=0):
     )
     rvecs, tvecs, obs = [], [], []
     for k in range(m):
-        w = np.array([0.02, 0.15, 0.01]) * k
-        t = np.array([0.25, -0.05, 0.4]) * k
+        w = np.array([0.02, 0.15, 0.01]) * k * step_scale
+        t = np.array([0.25, -0.05, 0.4]) * k * step_scale
         R = np.asarray(rodrigues(jnp.asarray(w.astype(np.float32))))
         Xc = X @ R.T + t
         z = Xc[:, :2] / Xc[:, 2:3] + rng.normal(0, noise, (l, 2))
@@ -144,3 +144,40 @@ def test_distributed_ba_matches_single_device():
     assert abs(float(stats_d.cost) - float(stats_s.cost)) < 1e-3 * max(
         float(stats_s.cost), 1.0
     )
+
+
+@needs_8
+def test_ring_ba_matches_single_device():
+    """Keyframe-sharded ring BA (parallel/ba_ring.py: ppermute'd whitened
+    Schur factors) must agree with the single-device solver."""
+    from hackathonopticalflow_tpu.parallel.ba_ring import ring_bundle_adjust
+
+    state, *_ = _synthetic_ba(m=8, l=48)
+    mesh = make_mesh((8,), ("win",))
+    out_s, stats_s = bundle_adjust(state, iters=8)
+    out_r, stats_r = ring_bundle_adjust(state, mesh, "win", iters=8)
+    np.testing.assert_allclose(
+        np.asarray(out_r.rvecs), np.asarray(out_s.rvecs), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r.tvecs), np.asarray(out_s.tvecs), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r.points), np.asarray(out_s.points), atol=1e-3
+    )
+    assert int(stats_r.n_obs) == int(stats_s.n_obs)
+
+
+@needs_8
+def test_ring_ba_multiple_cams_per_device():
+    """Mloc > 1: 16 keyframes over 8 devices, and it still converges."""
+    from hackathonopticalflow_tpu.parallel.ba_ring import ring_bundle_adjust
+
+    state, *_ = _synthetic_ba(m=16, l=40, seed=3, step_scale=0.25)
+    mesh = make_mesh((8,), ("win",))
+    out_s, stats_s = bundle_adjust(state, iters=8)
+    out_r, stats_r = ring_bundle_adjust(state, mesh, "win", iters=8)
+    np.testing.assert_allclose(
+        np.asarray(out_r.rvecs), np.asarray(out_s.rvecs), atol=5e-4
+    )
+    assert float(stats_r.cost) < float(stats_r.initial_cost) * 0.05
