@@ -21,7 +21,9 @@ from hackathonopticalflow_tpu.io.tools import (
     channel_histograms,
 )
 
-from conftest import requires_cv2, HAVE_CV2
+from conftest import requires_cv2, HAVE_CV2, VIDEO_DIR
+import os
+import pytest
 
 if HAVE_CV2:
     import cv2
@@ -102,3 +104,24 @@ def test_channel_histograms(bgr_frame):
     for k in ["h", "s", "v"]:
         assert out["hists"][k].sum() == n
     assert out["hue_view"].shape == bgr_frame.shape
+
+
+@requires_cv2
+def test_transcode_roundtrip(tmp_path):
+    """io/tools.transcode (Operations.change_format parity: mp4v, 75%
+    scale, fixed fps) writes a readable clip with scaled dimensions."""
+    import cv2
+    from hackathonopticalflow_tpu.io.tools import transcode
+
+    src = os.path.join(VIDEO_DIR, "Тёмный_коридор_колонны .mp4")
+    if not os.path.exists(src):
+        pytest.skip("corpus unavailable")
+    # quick: re-encode a short prefix by truncating through a temp reader
+    dst = str(tmp_path / "out.mp4")
+    n = transcode(src, dst, percent=25, fps=15.0)
+    assert n >= 100
+    cap = cv2.VideoCapture(dst)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok
+    assert frame.shape == (270, 480, 3)
