@@ -31,7 +31,11 @@ baseline. This kernel removes the gathers entirely:
 - because candidates are measured from the tile minimum, live candidates
   are contiguous from offset 0, so per-tile cost tracks the tile's actual
   flow spread (typically 2-4 live columns x 1-2 row blocks of the worst
-  case).
+  case);
+- the grid runs one step per tile ROW; the kernel walks the row's column
+  tiles in a fori_loop with DOUBLE-BUFFERED slab DMA (warm-up start,
+  prefetch next, wait current — the canonical intra-invocation pipeline),
+  hiding the transfer under the candidate math (~2x at 720p).
 
 Pixels whose sample deviates more than the margin from the tile minimum
 (72 px vertically / 128 px horizontally) clamp to the slab edge — on the
@@ -82,60 +86,85 @@ def supports(h: int, w: int) -> bool:
 
 
 def _kernel(by8_ref, bx128_ref, rx0_ref, yh_ref, xh_ref, src_ref,
-            ryf_ref, rxf_ref, out_ref, slab, sem):
+            ryf_ref, rxf_ref, out_ref, slab2, sem2):
     c = out_ref.shape[0]
     ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        src_ref.at[
-            :,
-            pl.ds(by8_ref[ti, tj] * 8, ROWS),
-            pl.ds(bx128_ref[ti, tj] * 128, COLS),
-        ],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    ntx = out_ref.shape[-1] // TW
 
-    ryf = ryf_ref[:]  # (TH, TW) fractional row candidate offsets
-    rxf = rxf_ref[:]
-    rx0 = rx0_ref[ti, tj]  # lane alignment remainder, 0..127
-    yh = yh_ref[ti, tj]  # live candidate counts for this tile
-    xh = xh_ref[ti, tj]
-    acc = jnp.zeros((c, TH, TW), jnp.float32)
-    for q in range(NQ):
+    # double-buffered slab pipeline over this row's column tiles (the
+    # canonical intra-invocation pattern: warm-up start, prefetch next,
+    # wait current, compute)
+    def get_dma(slot, tj):
+        return pltpu.make_async_copy(
+            src_ref.at[
+                :,
+                pl.ds(by8_ref[ti, tj] * 8, ROWS),
+                pl.ds(bx128_ref[ti, tj] * 128, COLS),
+            ],
+            slab2.at[slot],
+            sem2.at[slot],
+        )
 
-        def q_live(acc, q=q):
-            a0 = slab[:, 8 * q : 8 * q + 16, :]  # (c, 16, COLS), static
-            # consume the alignment remainder: left-roll by rx0 via a
-            # log2 ladder of static rolls masked on rx0's scalar bits
-            # (left-roll by t == roll by COLS - t; cf. ops/lk_pallas.py)
-            for t in (64, 32, 16, 8, 4, 2, 1):
-                a0 = lax.cond(
-                    (rx0 & t) != 0,
-                    lambda a, t=t: pltpu.roll(a, COLS - t, 2),
-                    lambda a: a,
-                    a0,
-                )
-            cur0 = a0[:, :, : TW + RXC - 1]  # live lanes only (256)
+    get_dma(0, 0).start()
 
-            def rx_body(rx, carry):
-                a, cur = carry
-                txw = jnp.maximum(1.0 - jnp.abs(rxf - rx.astype(jnp.float32)), 0.0)
-                win = cur[:, :, :TW]  # lanes [rx0+rx, rx0+rx+TW) of slab
-                for s in range(8):
-                    tyw = jnp.maximum(1.0 - jnp.abs(ryf - float(8 * q + s)), 0.0)
-                    wgt = txw * tyw
-                    rows = pltpu.roll(win, 16 - s, 1) if s else win
-                    a = a + rows[:, :TH, :] * wgt[None]
-                return a, pltpu.roll(cur, TW + RXC - 2, 2)
+    def col_body(tj, _):
+        slot = lax.rem(tj, 2)
 
-            acc, _ = lax.fori_loop(0, xh, rx_body, (acc, cur0))
-            return acc
+        @pl.when(tj + 1 < ntx)
+        def _():
+            get_dma(lax.rem(tj + 1, 2), tj + 1).start()
 
-        acc = lax.cond(8 * q < yh, q_live, lambda a: a, acc)
-    out_ref[:] = acc
+        get_dma(slot, tj).wait()
+
+        slab = slab2.at[slot]
+        lanes = pl.ds(tj * TW, TW)
+        ryf = ryf_ref[:, lanes]  # (TH, TW) fractional row candidate offsets
+        rxf = rxf_ref[:, lanes]
+        rx0 = rx0_ref[ti, tj]  # lane alignment remainder, 0..127
+        yh = yh_ref[ti, tj]  # live candidate counts for this tile
+        xh = xh_ref[ti, tj]
+        acc = jnp.zeros((c, TH, TW), jnp.float32)
+        for q in range(NQ):
+
+            def q_live(acc, q=q):
+                a0 = slab[:, 8 * q : 8 * q + 16, :]  # (c, 16, COLS), static
+                # consume the alignment remainder: left-roll by rx0 via a
+                # log2 ladder of static rolls masked on rx0's scalar bits
+                # (left-roll by t == roll by COLS - t; cf. ops/lk_pallas.py)
+                for t in (64, 32, 16, 8, 4, 2, 1):
+                    a0 = lax.cond(
+                        (rx0 & t) != 0,
+                        lambda a, t=t: pltpu.roll(a, COLS - t, 2),
+                        lambda a: a,
+                        a0,
+                    )
+                cur0 = a0[:, :, : TW + RXC - 1]  # live lanes only (256)
+
+                def rx_body(rx, carry):
+                    a, cur = carry
+                    txw = jnp.maximum(
+                        1.0 - jnp.abs(rxf - rx.astype(jnp.float32)), 0.0
+                    )
+                    win = cur[:, :, :TW]  # lanes [rx0+rx, rx0+rx+TW)
+                    for s in range(8):
+                        tyw = jnp.maximum(
+                            1.0 - jnp.abs(ryf - float(8 * q + s)), 0.0
+                        )
+                        wgt = txw * tyw
+                        # left-roll by s == roll by (size - s); pltpu.roll
+                        # requires non-negative shifts (ops/lk_pallas.py)
+                        rows = pltpu.roll(win, 16 - s, 1) if s else win
+                        a = a + rows[:, :TH, :] * wgt[None]
+                    return a, pltpu.roll(cur, TW + RXC - 2, 2)
+
+                acc, _ = lax.fori_loop(0, xh, rx_body, (acc, cur0))
+                return acc
+
+            acc = lax.cond(8 * q < yh, q_live, lambda a: a, acc)
+        out_ref[:, :, lanes] = acc
+        return 0
+
+    lax.fori_loop(0, ntx, col_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -213,17 +242,19 @@ def warp_bilinear_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(nty, ntx),
+        # one grid step per tile ROW; the kernel loops the row's column
+        # tiles itself so the slab DMA double-buffers across them
+        grid=(nty,),
         in_specs=[
             # pinned to HBM: the kernel DMAs its own slabs
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((c, TH, TW), lambda i, j, *_: (0, i, j)),
+        out_specs=pl.BlockSpec((c, TH, wp), lambda i, *_: (0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((c, ROWS, COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, c, ROWS, COLS), jnp.float32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
