@@ -82,10 +82,10 @@ def steady_fps(run, arg, n_pairs, reps=3, label=""):
     return fps
 
 
-def bench_dense(n_pairs: int = 8):
+def bench_dense(n_pairs: int = 24):
     """Headline: dense Farneback 720p, ours vs cv2 CPU."""
     from hackathonopticalflow_tpu.core.config import FarnebackParams
-    from hackathonopticalflow_tpu.flow.dense import farneback_flow
+    from hackathonopticalflow_tpu.flow.dense import farneback_flow_video
 
     frames = load_frames(n_pairs, 720, 1280)
     cpu_fps = None
@@ -108,13 +108,9 @@ def bench_dense(n_pairs: int = 8):
 
     @jax.jit
     def run(fr):
-        def step(acc, pair):
-            fl = farneback_flow(pair[0], pair[1], params)
-            return acc + jnp.sum(jnp.abs(fl)), None
-
-        pairs = jnp.stack([fr[:-1], fr[1:]], axis=1)
-        acc, _ = jax.lax.scan(step, jnp.float32(0), pairs)
-        return acc
+        # whole-clip scan: each frame's poly pyramid is prepared ONCE
+        # (flow/dense.py farneback_flow_video)
+        return jnp.sum(jnp.abs(farneback_flow_video(fr, params)))
 
     fps = steady_fps(run, dev, n_pairs, label="dense 720p (device)")
     return fps, cpu_fps

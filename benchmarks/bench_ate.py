@@ -1,0 +1,221 @@
+"""Trajectory ATE vs the cv2-composed oracle on a real flight clip — the
+BASELINE.json "ATE on flight clips" metric.
+
+Both pipelines run feature tracking -> per-pair essential-matrix pose ->
+unit-translation pose chaining (monocular scale gauge) on the same
+frames:
+
+- ours: flow/tracker.py (Shi-Tomasi + fwd-bwd LK, the SparseOF.py:22-92
+  re-design) + nav/pose.py estimate_relative_pose (8-pt RANSAC +
+  cheirality);
+- oracle: the literal cv2 loop (calcOpticalFlowPyrLK fwd/bwd, d < 1 px
+  gate) + cv2.findEssentialMat/recoverPose.
+
+ATE is Umeyama-aligned RMSE between the two unit-step camera-center
+chains (nav/metrics.py). Per-step scale is gauge-fixed identically in
+both, so the number measures geometric agreement of the pose chains.
+Forced to CPU: this is an accuracy metric, and the TPU relay admits one
+process at a time. Prints one JSON line per clip to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+VIDEO_DIR = "/root/reference/videos"
+CLIPS = [
+    ("здания_дверь_колонны_перекрытия.mp4", 60),
+    ("Тёмный_коридор_колонны .mp4", 60),
+]
+W, H = 640, 360
+FOV_DEG = 155.0
+
+
+def load(path: str, n: int, start: int = 10) -> np.ndarray | None:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames = []
+    for _ in range(n):
+        ok, f = cap.read()
+        if not ok:
+            break
+        g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+        frames.append(cv2.resize(g, (W, H), interpolation=cv2.INTER_AREA))
+    cap.release()
+    return np.stack(frames) if len(frames) >= 16 else None
+
+
+def chain(poses):
+    """[(R, t)] with x_cur = R x_prev + t, |t| = 1 -> (N+1, 3) centers."""
+    Rwc = np.eye(3)
+    C = np.zeros(3)
+    out = [C.copy()]
+    for R, t in poses:
+        C = C + Rwc @ (-R.T @ t)
+        Rwc = Rwc @ R.T
+        out.append(C.copy())
+    return np.stack(out)
+
+
+def run_oracle(frames: np.ndarray, K: np.ndarray):
+    import cv2
+
+    lk = dict(
+        winSize=(15, 15),
+        maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+    )
+    fp = dict(maxCorners=60, qualityLevel=0.1, minDistance=10, blockSize=7)
+    trajectories = []
+    poses = []
+    for idx in range(len(frames)):
+        if idx > 0 and trajectories:
+            img0, img1 = frames[idx - 1], frames[idx]
+            p0 = np.float32([t[-1] for t in trajectories]).reshape(-1, 1, 2)
+            p1, _s, _e = cv2.calcOpticalFlowPyrLK(img0, img1, p0, None, **lk)
+            p0r, _s, _e = cv2.calcOpticalFlowPyrLK(img1, img0, p1, None, **lk)
+            d = abs(p0 - p0r).reshape(-1, 2).max(-1)
+            good = d < 1
+            prev_pts = p0.reshape(-1, 2)[good]
+            cur_pts = p1.reshape(-1, 2)[good]
+            if len(prev_pts) >= 8:
+                E, inl = cv2.findEssentialMat(
+                    prev_pts, cur_pts, K, method=cv2.RANSAC, prob=0.999, threshold=1.0
+                )
+                _n, R, t, _m = cv2.recoverPose(E, prev_pts, cur_pts, K, mask=inl)
+                poses.append((R, t.reshape(3)))
+            else:
+                poses.append((np.eye(3), np.zeros(3)))
+            new_tr = []
+            for tr, (x, y), ok in zip(trajectories, p1.reshape(-1, 2), good):
+                if not ok:
+                    continue
+                tr.append((x, y))
+                if len(tr) > 40:
+                    del tr[0]
+                new_tr.append(tr)
+            trajectories = new_tr
+        if idx % 5 == 0:
+            import cv2 as _cv2
+
+            mask = np.full_like(frames[idx], 255)
+            for x, y in [np.int32(t[-1]) for t in trajectories]:
+                _cv2.circle(mask, (x, y), 5, 0, -1)
+            p = _cv2.goodFeaturesToTrack(frames[idx], mask=mask, **fp)
+            if p is not None:
+                for x, y in np.float32(p).reshape(-1, 2):
+                    trajectories.append([(x, y)])
+    return chain(poses)
+
+
+def run_ours(frames: np.ndarray):
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.flow.tracker import (
+        _heads,
+        init_tracker,
+        track_step,
+    )
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.pose import estimate_relative_pose
+
+    params = TrackerParams(
+        lk=LKParams(win_size=(15, 15)),
+        max_tracks=128,
+        features=FeatureParams(
+            max_corners=60, quality_level=0.1, max_candidates=512
+        ),
+    )
+    cam = Pinhole.from_fov(W, H, FOV_DEG)
+    step = jax.jit(lambda s, a, b: track_step(s, a, b, params))
+
+    @jax.jit
+    def pose_step(prev_heads, state):
+        heads = _heads(state)
+        # tracks that survived this step with >= 2 points correspond
+        valid = state.alive & (state.length >= 2)
+        p0 = cam.normalize(prev_heads)
+        p1 = cam.normalize(heads)
+        rp = estimate_relative_pose(p0, p1, valid)
+        return rp.R, rp.t, jnp.sum(valid)
+
+    state = init_tracker(params)
+    f0 = jnp.asarray(frames[0], jnp.float32)
+    state = step(state, f0, f0)  # seed detections on frame 0
+    poses = []
+    for idx in range(1, len(frames)):
+        prev_heads = _heads(state)
+        state = step(
+            state,
+            jnp.asarray(frames[idx - 1], jnp.float32),
+            jnp.asarray(frames[idx], jnp.float32),
+        )
+        R, t, n = pose_step(prev_heads, state)
+        if int(n) >= 8:
+            poses.append((np.asarray(R), np.asarray(t)))
+        else:
+            poses.append((np.eye(3), np.zeros(3)))
+    return chain(poses)
+
+
+def main():
+    from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
+
+    f = (W / 2.0) / np.tan(np.radians(FOV_DEG) / 2.0)
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+    for name, n in CLIPS:
+        path = os.path.join(VIDEO_DIR, name)
+        if not os.path.exists(path):
+            log("missing clip", name)
+            continue
+        frames = load(path, n)
+        if frames is None:
+            log("decode failed", name)
+            continue
+        oracle = run_oracle(frames, K)
+        ours = run_ours(frames)
+        ate = ate_umeyama(ours, oracle)
+        # scale-free: RMSE relative to the oracle trajectory's span
+        span = float(
+            np.linalg.norm(oracle - oracle.mean(0), axis=-1).max() + 1e-9
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "trajectory_ate_rmse",
+                    "clip": name,
+                    "frames": int(len(frames)),
+                    "value": round(ate["rmse"], 4),
+                    "unit": "unit-steps",
+                    "rel_span": round(ate["rmse"] / span, 4),
+                }
+            ),
+            flush=True,
+        )
+        log(f"{name}: ATE rmse {ate['rmse']:.4f} mean {ate['mean']:.4f} "
+            f"max {ate['max']:.4f} span {span:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,9 @@ class FarnebackParams:
         deviating >72/128 px from their tile's minimum sample clamp to
         the slab edge (beyond the corpus' worst per-tile spread; ~6e-3 px
         mean EPE vs cv2);
+      - "pallas_bf16": 'pallas' with bf16 slabs — halves the kernel's
+        slab DMA (its binding cost); coefficients round to bf16 before
+        the copy, candidate math stays f32 (~1e-2 px EPE vs cv2);
       - "auto" (default): 'pallas' on TPU, 'exact' elsewhere (the slab
         kernel only pays off on real hardware; interpret mode is slow).
     """

@@ -7,7 +7,26 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import FarnebackParams
-from ..ops.farneback import farneback
+from ..ops.farneback import farneback, farneback_prepared, prepare_frame
+
+
+def farneback_flow_video(
+    frames: jnp.ndarray,
+    params: FarnebackParams = FarnebackParams(),
+) -> jnp.ndarray:
+    """(T, H, W) grayscale clip -> (T-1, H, W, 2) flow per consecutive
+    pair, as one lax.scan that carries each frame's prepared polynomial
+    pyramid forward — every frame is expanded ONCE instead of twice
+    (it is the `nxt` of pair t-1 and the `prev` of pair t). Matches
+    per-pair farneback() exactly for the coefficient warp modes."""
+    first = prepare_frame(frames[0], params)
+
+    def step(rs_prev, frame):
+        rs_cur = prepare_frame(frame, params)
+        return rs_cur, farneback_prepared(rs_prev, rs_cur, params)
+
+    _, flows = jax.lax.scan(step, first, frames[1:])
+    return flows
 
 
 def farneback_flow(

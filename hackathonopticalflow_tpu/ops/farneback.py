@@ -147,11 +147,12 @@ def update_matrices(
     x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
     y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
 
-    if mode == "pallas":
+    if mode in ("pallas", "pallas_bf16"):
         from .warp_pallas import supports, warp_bilinear_pallas
 
         if supports(h, w):
-            w2 = warp_bilinear_pallas(r1, fx, fy)
+            dt = jnp.bfloat16 if mode == "pallas_bf16" else jnp.float32
+            w2 = warp_bilinear_pallas(r1, fx, fy, slab_dtype=dt)
             return _assemble_m(r0, w2, inside, dx, dy, h, w)
         mode = "exact"  # level too small for the slab geometry
 
@@ -306,6 +307,74 @@ def update_flow_blur(m: jnp.ndarray, win_size: int) -> jnp.ndarray:
     return jnp.stack([fx, fy], axis=-1)
 
 
+def _resolve_mode(params: FarnebackParams) -> FarnebackParams:
+    if params.warp_mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+        params = dataclasses.replace(params, warp_mode=mode)
+    return params
+
+
+def _level_shapes(h: int, w: int, params: FarnebackParams):
+    """(hk, wk, sigma, smooth_sz) per level, coarse -> fine (OpenCV scales
+    each level from the ORIGINAL size, not recursively)."""
+    out = []
+    for k in range(params.levels, -1, -1):
+        scale = params.pyr_scale**k
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        out.append((int(round(h * scale)), int(round(w * scale)), sigma, smooth_sz))
+    return out
+
+
+def prepare_frame(
+    img: jnp.ndarray, params: FarnebackParams = FarnebackParams()
+) -> tuple[jnp.ndarray, ...]:
+    """Per-level polynomial-expansion pyramid of ONE frame, coarse -> fine.
+
+    In a video scan each frame is the `nxt` of one pair and the `prev` of
+    the following pair; preparing it once halves the poly_exp / blur /
+    resize work of the pairwise farneback() (cf. cv2's per-call recompute
+    behind DenseOF.py:147-157, which gets no such reuse)."""
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    rs = []
+    for hk, wk, sigma, smooth_sz in _level_shapes(h, w, params):
+        smoothed = gaussian_blur(img, smooth_sz, sigma)
+        if (hk, wk) != (h, w):
+            smoothed = resize_bilinear(smoothed, hk, wk)
+        rs.append(poly_exp(smoothed, params.poly_n, params.poly_sigma))
+    return tuple(rs)
+
+
+def farneback_prepared(
+    rs_prev: tuple[jnp.ndarray, ...],
+    rs_next: tuple[jnp.ndarray, ...],
+    params: FarnebackParams = FarnebackParams(),
+) -> jnp.ndarray:
+    """farneback() on prepare_frame() pyramids (coefficient warp modes
+    only — 'image'/'hybrid' re-expand inside the iteration and gain
+    nothing from preparation). Numerics identical to farneback()."""
+    params = _resolve_mode(params)
+    assert params.warp_mode in ("exact", "packed", "pallas", "pallas_bf16"), (
+        params.warp_mode
+    )
+    flow = None
+    for r0, r1 in zip(rs_prev, rs_next):
+        _, hk, wk = r0.shape
+        if flow is None:
+            flow = jnp.zeros((hk, wk, 2), jnp.float32)
+        else:
+            flow = jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(flow, -1, 0), hk, wk), 0, -1
+            ) * (1.0 / params.pyr_scale)
+        m = update_matrices(r0, r1, flow, mode=params.warp_mode)
+        for i in range(params.iterations):
+            flow = update_flow_blur(m, params.win_size)
+            if i < params.iterations - 1:
+                m = update_matrices(r0, r1, flow, mode=params.warp_mode)
+    return flow
+
+
 def farneback(
     prev: jnp.ndarray,
     nxt: jnp.ndarray,
@@ -353,7 +422,7 @@ def farneback(
                 )
                 return update_matrices_prewarped(r0, r1w, fl)
 
-        if params.warp_mode in ("exact", "hybrid", "packed", "pallas"):
+        if params.warp_mode in ("exact", "hybrid", "packed", "pallas", "pallas_bf16"):
             r1 = poly_exp(imgs[1], params.poly_n, params.poly_sigma)
             coef_mode = params.warp_mode if params.warp_mode != "hybrid" else "exact"
 

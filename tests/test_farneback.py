@@ -78,6 +78,41 @@ def test_farneback_flow_batched():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-5)
 
 
+def test_farneback_video_scan_matches_pairwise():
+    """farneback_flow_video (prepared-frame scan: each frame's poly
+    pyramid built once) must equal per-pair farneback exactly."""
+    from hackathonopticalflow_tpu.flow.dense import farneback_flow_video
+
+    from hackathonopticalflow_tpu.ops.farneback import (
+        farneback_prepared,
+        prepare_frame,
+    )
+
+    rng = np.random.RandomState(1)
+    frames = rng.uniform(0, 255, (4, 48, 64)).astype(np.float32)
+    params = FarnebackParams(levels=2)
+    flows = np.asarray(
+        jax.jit(lambda f: farneback_flow_video(f, params))(jnp.asarray(frames))
+    )
+    assert flows.shape == (3, 48, 64, 2)
+    for t in range(3):
+        ref = np.asarray(
+            farneback(jnp.asarray(frames[t]), jnp.asarray(frames[t + 1]), params)
+        )
+        # prepared-path math is EXACTLY the pairwise math...
+        direct = np.asarray(
+            farneback_prepared(
+                prepare_frame(jnp.asarray(frames[t]), params),
+                prepare_frame(jnp.asarray(frames[t + 1]), params),
+                params,
+            )
+        )
+        np.testing.assert_array_equal(direct, ref)
+        # ...and the scan only reassociates f32 (noise frames are the
+        # worst case for the damped 2x2 solve)
+        np.testing.assert_allclose(flows[t], ref, atol=2e-3)
+
+
 @requires_cv2
 def test_farneback_packed_mode_within_budget(frame_pair_small):
     """warp_mode='packed' (bf16-pair gathers) must stay far inside the
@@ -122,6 +157,19 @@ def test_warp_pallas_matches_gather_warp():
     inside = (np.floor(fx) >= 0) & (np.floor(fx) < w - 1)
     inside &= (np.floor(fy) >= 0) & (np.floor(fy) < h - 1)
     assert np.abs(out - ref)[:, inside].max() < 1e-4
+
+    # bf16 slabs: same kernel at half the DMA; error bounded by the
+    # source's bf16 rounding (~0.4% rel)
+    out16 = np.asarray(
+        warp_bilinear_pallas(
+            jnp.asarray(src),
+            jnp.asarray(fx),
+            jnp.asarray(fy),
+            slab_dtype=jnp.bfloat16,
+        )
+    )
+    scale = np.abs(src).max()
+    assert np.abs(out16 - ref)[:, inside].max() < 0.01 * scale
 
 
 @requires_cv2
