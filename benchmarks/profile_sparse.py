@@ -97,7 +97,7 @@ def main():
     tli = jnp.floor(tl).astype(jnp.int32)
     timeit(
         "extract_patches_multi (3ch, 45x45)",
-        lambda im, t: extract_patches_multi([im, im, im], t, 45, 45),
+        lambda im, t: extract_patches_multi(jnp.stack([im, im, im]), t, 45, 45),
         img_p, tl,
     )
     timeit(

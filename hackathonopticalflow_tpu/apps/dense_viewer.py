@@ -133,17 +133,14 @@ class DenseViewerApp:
             gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
             h, w = gray.shape
 
+            # uint8 across the host->device link; ops cast on device
             flow = None
             if cfg.add_flow or cfg.add_hsv or cfg.show_hsv:
-                flow = self._dense_fn(
-                    jnp.asarray(prev_gray, jnp.float32), jnp.asarray(gray, jnp.float32)
-                )
+                flow = self._dense_fn(jnp.asarray(prev_gray), jnp.asarray(gray))
             sres = None
             if cfg.add_sparse_flow or cfg.add_sparse_hsv:
                 sres = self._sparse_fn(
-                    jnp.asarray(prev_gray, jnp.float32),
-                    jnp.asarray(gray, jnp.float32),
-                    self.pts,
+                    jnp.asarray(prev_gray), jnp.asarray(gray), self.pts
                 )
             prev_gray = gray
 

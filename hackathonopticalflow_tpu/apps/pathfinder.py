@@ -59,6 +59,9 @@ class PathfinderApp:
         self.reader = VideoReader(cfg.video)
         h, w = self.reader.height, self.reader.width
         self.pts = measurement_grid(h, w, cfg.step)
+        # frames cross the host->device link as uint8 (4x smaller than
+        # f32 — the relay makes transfer size visible); lk_grid_flow
+        # casts to f32 on device
         self._flow_fn = jax.jit(
             functools.partial(
                 lk_grid_flow, lk=cfg.lk, norm=cfg.norm, filt=cfg.filt
@@ -68,9 +71,7 @@ class PathfinderApp:
 
     def compute_frame(self, prev_gray: np.ndarray, gray: np.ndarray):
         """Device-side computation for one frame pair."""
-        return self._flow_fn(
-            jnp.asarray(prev_gray, jnp.float32), jnp.asarray(gray, jnp.float32), self.pts
-        )
+        return self._flow_fn(jnp.asarray(prev_gray), jnp.asarray(gray), self.pts)
 
     def render_frame(self, img: np.ndarray, res, fps: float | None = None) -> np.ndarray:
         """Host-side layer compositing (pathfinder_viewer.py:292-312)."""

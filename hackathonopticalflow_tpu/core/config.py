@@ -45,6 +45,10 @@ class LKParams:
     #: run the iteration loop as the Pallas VMEM kernel (ops/lk_pallas.py);
     #: implies a slab margin (slab_margin or 8). Interpreted off-TPU.
     use_pallas: bool = False
+    #: points per Pallas grid step. Grid steps are sequential on a core,
+    #: so larger blocks amortize the iteration loop's dependency-chain
+    #: latency across more points (VMEM-bounded: block*(win+2M+3)^2 f32).
+    pallas_block: int = 32
 
     @property
     def win_area(self) -> int:

@@ -54,7 +54,10 @@ def lk_grid_flow(
     norm: NormalizeParams = NormalizeParams(),
     filt: FilterParams = FilterParams(),
 ) -> GridFlowResult:
-    """prev_gray/gray: (H, W) grayscale float32 in [0, 255]; pts: (N, 2)."""
+    """prev_gray/gray: (H, W) grayscale in [0, 255] (uint8 welcome — apps
+    transfer u8 and the cast happens on device); pts: (N, 2)."""
+    prev_gray = prev_gray.astype(jnp.float32)
+    gray = gray.astype(jnp.float32)
     h, w = gray.shape
     # backward flow: track grid points from current frame into previous
     res = pyr_lk(gray, prev_gray, pts, lk)
@@ -76,6 +79,7 @@ def lk_grid_flow_video(
     from ..ops.lk import prepare_frame, pyr_lk_prepared
 
     h, w = frames.shape[-2:]
+    frames = frames.astype(jnp.float32)
     pts = pts.astype(jnp.float32)
     prep0 = prepare_frame(frames[0], lk)
 

@@ -156,7 +156,7 @@ def _level_lk(
         )
         slabs = extract_slabs(img_next_p, slab_base, slab_s)
         amat = jnp.stack([a11, a12, a22, inv_det], axis=-1)
-        block_n = 32
+        block_n = params.pallas_block
         n = pts.shape[0]
         n_pad = (-n) % block_n
         if n_pad:
