@@ -300,6 +300,31 @@ def update_flow_blur(m: jnp.ndarray, win_size: int) -> jnp.ndarray:
     """Solve for flow from box-averaged M (OpenCV FarnebackUpdateFlow_blur:
     window sums scaled by 1/win^2, then the 1e-3-damped 2x2 Cramer solve)."""
     ms = box_sum(m, win_size, mode="edge") * (1.0 / (win_size * win_size))
+    return _cramer_solve(ms)
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_win_kernel(win_size: int) -> np.ndarray:
+    """OpenCV FarnebackUpdateFlow_GaussianBlur's window kernel: half-width
+    m = win//2, sigma = m*0.3, normalized over the full 2m+1 taps."""
+    m = win_size // 2
+    sigma = m * 0.3
+    half = np.exp(-np.arange(m + 1, dtype=np.float64) ** 2 / (2 * sigma * sigma))
+    s = half[0] + 2.0 * half[1:].sum()
+    half = (half / s).astype(np.float32)
+    return np.concatenate([half[:0:-1], half])
+
+
+def update_flow_gaussian(m: jnp.ndarray, win_size: int) -> jnp.ndarray:
+    """FARNEBACK_GAUSSIAN variant (OpenCV FarnebackUpdateFlow_GaussianBlur):
+    the window sum is a normalized separable Gaussian (sigma = (win//2)*0.3,
+    replicate borders) instead of a box, then the same damped solve."""
+    k = jnp.asarray(_gauss_win_kernel(win_size))
+    ms = jnp.stack([sep_conv2d(ch, k, k, mode="edge") for ch in m], axis=0)
+    return _cramer_solve(ms)
+
+
+def _cramer_solve(ms: jnp.ndarray) -> jnp.ndarray:
     g11, g12, g22, h1, h2 = ms[0], ms[1], ms[2], ms[3], ms[4]
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     fx = (g11 * h2 - g12 * h1) * idet
@@ -346,10 +371,30 @@ def prepare_frame(
     return tuple(rs)
 
 
+def _init_top_flow(flow0, hk: int, wk: int, scale: float) -> jnp.ndarray:
+    """OPTFLOW_USE_INITIAL_FLOW seed at the top pyramid level: INTER_AREA
+    resize of the caller's full-resolution flow, scaled by the level's
+    pyramid scale (OpenCV calcOpticalFlowFarneback's `if( flags &
+    OPTFLOW_USE_INITIAL_FLOW )` branch)."""
+    from .image import resize_area
+
+    f = jnp.moveaxis(flow0.astype(jnp.float32), -1, 0)
+    if f.shape[1:] != (hk, wk):
+        f = jnp.stack([resize_area(f[0], hk, wk), resize_area(f[1], hk, wk)])
+    return jnp.moveaxis(f, 0, -1) * scale
+
+
+def _solve_flow(m: jnp.ndarray, params: FarnebackParams) -> jnp.ndarray:
+    if params.gaussian_win:
+        return update_flow_gaussian(m, params.win_size)
+    return update_flow_blur(m, params.win_size)
+
+
 def farneback_prepared(
     rs_prev: tuple[jnp.ndarray, ...],
     rs_next: tuple[jnp.ndarray, ...],
     params: FarnebackParams = FarnebackParams(),
+    flow0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """farneback() on prepare_frame() pyramids (coefficient warp modes
     only — 'image'/'hybrid' re-expand inside the iteration and gain
@@ -362,14 +407,19 @@ def farneback_prepared(
     for r0, r1 in zip(rs_prev, rs_next):
         _, hk, wk = r0.shape
         if flow is None:
-            flow = jnp.zeros((hk, wk, 2), jnp.float32)
+            if flow0 is not None:
+                flow = _init_top_flow(
+                    flow0, hk, wk, params.pyr_scale**params.levels
+                )
+            else:
+                flow = jnp.zeros((hk, wk, 2), jnp.float32)
         else:
             flow = jnp.moveaxis(
                 resize_bilinear(jnp.moveaxis(flow, -1, 0), hk, wk), 0, -1
             ) * (1.0 / params.pyr_scale)
         m = update_matrices(r0, r1, flow, mode=params.warp_mode)
         for i in range(params.iterations):
-            flow = update_flow_blur(m, params.win_size)
+            flow = _solve_flow(m, params)
             if i < params.iterations - 1:
                 m = update_matrices(r0, r1, flow, mode=params.warp_mode)
     return flow
@@ -379,9 +429,12 @@ def farneback(
     prev: jnp.ndarray,
     nxt: jnp.ndarray,
     params: FarnebackParams = FarnebackParams(),
+    flow0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dense flow (H, W, 2) from prev to nxt grayscale (H, W) frames in
-    [0, 255]. cv2.calcOpticalFlowFarneback parity for flags=0."""
+    [0, 255]. cv2.calcOpticalFlowFarneback parity; flags map onto
+    FarnebackParams.gaussian_win (OPTFLOW_FARNEBACK_GAUSSIAN) and the
+    flow0 argument (OPTFLOW_USE_INITIAL_FLOW — pass the previous flow)."""
     prev = prev.astype(jnp.float32)
     nxt = nxt.astype(jnp.float32)
     h, w = prev.shape
@@ -398,7 +451,10 @@ def farneback(
         hk = int(round(h * scale))
 
         if flow is None:
-            flow = jnp.zeros((hk, wk, 2), jnp.float32)
+            if flow0 is not None:
+                flow = _init_top_flow(flow0, hk, wk, scale)
+            else:
+                flow = jnp.zeros((hk, wk, 2), jnp.float32)
         else:
             flow = resize_bilinear(
                 jnp.moveaxis(flow, -1, 0), hk, wk
@@ -442,7 +498,7 @@ def farneback(
 
         m = make_m_iter(flow) if params.iterations > 1 else make_m_final(flow)
         for i in range(params.iterations):
-            flow = update_flow_blur(m, params.win_size)
+            flow = _solve_flow(m, params)
             if i < params.iterations - 1:
                 m = (
                     make_m_final(flow)

@@ -153,14 +153,37 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return cols0 * (1 - wx_b) + cols1 * wx_b
 
 
+def _area_weights(n_in: int, n_out: int):
+    """(n_out, n_in) fractional pixel-coverage weights for cv2's generic
+    INTER_AREA downscale: output cell j covers src span
+    [j*scale, (j+1)*scale); border cells get partial coverage; rows are
+    normalized by covered area (host-side numpy, static shapes)."""
+    import numpy as _np
+
+    scale = n_in / n_out
+    w = _np.zeros((n_out, n_in), _np.float32)
+    for j in range(n_out):
+        a, b = j * scale, (j + 1) * scale
+        lo, hi = int(_np.floor(a)), int(min(_np.ceil(b), n_in))
+        for i in range(lo, hi):
+            w[j, i] = min(b, i + 1) - max(a, i)
+    return w / w.sum(axis=1, keepdims=True)
+
+
 def resize_area(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """cv2.resize INTER_AREA parity for integer shrink factors (pixel-area
-    average); falls back to bilinear otherwise (matches cv2 for upscale)."""
+    """cv2.resize INTER_AREA parity: exact pixel-area average for integer
+    shrink factors, fractional coverage weights for non-integer downscale
+    (as cv2's generic area path), bilinear for upscale (cv2's behavior)."""
     h, w = img.shape[-2:]
     if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
         fy, fx = h // out_h, w // out_w
         x = img.reshape(img.shape[:-2] + (out_h, fy, out_w, fx))
         return x.mean(axis=(-3, -1))
+    if h >= out_h and w >= out_w:
+        wy = jnp.asarray(_area_weights(h, out_h), img.dtype)
+        wx = jnp.asarray(_area_weights(w, out_w), img.dtype)
+        x = jnp.einsum("oh,...hw->...ow", wy, img, precision=_PRECISION)
+        return jnp.einsum("...hw,ow->...ho", x, wx, precision=_PRECISION)
     return resize_bilinear(img, out_h, out_w)
 
 

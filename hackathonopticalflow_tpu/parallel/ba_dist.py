@@ -11,7 +11,7 @@ back-substituting its own landmarks locally. Communication per iteration:
 one psum of O(M^2) 6x6 blocks — independent of landmark count.
 
 Equality with the single-device solver is asserted on the 8-virtual-
-device CPU mesh in tests/test_ba.py.
+device CPU mesh in tests/test_pose_ba.py.
 """
 
 from __future__ import annotations

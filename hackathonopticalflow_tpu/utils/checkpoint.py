@@ -45,6 +45,14 @@ def load_checkpoint(path: str, templates: dict[str, Any]) -> dict[str, Any]:
     out = {}
     for name, template in templates.items():
         leaves, treedef = jax.tree.flatten(template)
+        saved_def = data.get(f"{name}__treedef")
+        if saved_def is not None:
+            saved_repr = bytes(saved_def.tobytes()).decode()
+            if saved_repr != repr(treedef):
+                raise ValueError(
+                    f"checkpoint structure mismatch for '{name}': saved "
+                    f"{saved_repr[:120]}... vs template {repr(treedef)[:120]}..."
+                )
         restored = [
             jnp.asarray(data[f"{name}__{i}"]) for i in range(len(leaves))
         ]

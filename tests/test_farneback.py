@@ -188,3 +188,45 @@ def test_farneback_pallas_mode_within_budget(frame_pair_small):
     epe = np.linalg.norm(ours - ref, axis=-1)
     assert epe.mean() < 0.02
     assert np.percentile(epe, 99) < 0.2
+
+
+@requires_cv2
+def test_farneback_gaussian_flag(frame_pair_small):
+    """OPTFLOW_FARNEBACK_GAUSSIAN -> FarnebackParams.gaussian_win=True
+    (OpenCV FarnebackUpdateFlow_GaussianBlur window weighting)."""
+    a, b = frame_pair_small
+    ref = cv2.calcOpticalFlowFarneback(
+        a, b, None, 0.5, 2, 15, 2, 5, 1.2, cv2.OPTFLOW_FARNEBACK_GAUSSIAN
+    )
+    ours = np.asarray(
+        farneback(
+            jnp.asarray(a, jnp.float32),
+            jnp.asarray(b, jnp.float32),
+            FarnebackParams(levels=2, iterations=2, gaussian_win=True),
+        )
+    )
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    assert epe.mean() < 1e-2
+    assert epe.max() < 0.5
+
+
+@requires_cv2
+def test_farneback_use_initial_flow(frame_pair_small):
+    """OPTFLOW_USE_INITIAL_FLOW -> the flow0 argument (the caller's flow
+    is INTER_AREA-resized to the top level and scaled as the seed)."""
+    a, b = frame_pair_small
+    seed = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 1, 9, 1, 5, 1.2, 0)
+    ref = cv2.calcOpticalFlowFarneback(
+        a, b, seed.copy(), 0.5, 2, 15, 2, 5, 1.2, cv2.OPTFLOW_USE_INITIAL_FLOW
+    )
+    ours = np.asarray(
+        farneback(
+            jnp.asarray(a, jnp.float32),
+            jnp.asarray(b, jnp.float32),
+            FarnebackParams(levels=2, iterations=2),
+            flow0=jnp.asarray(seed),
+        )
+    )
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    assert epe.mean() < 1e-2
+    assert epe.max() < 0.5
