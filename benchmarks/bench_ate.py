@@ -40,8 +40,8 @@ def log(*a):
 
 VIDEO_DIR = "/root/reference/videos"
 CLIPS = [
-    ("здания_дверь_колонны_перекрытия.mp4", 60),
-    ("Тёмный_коридор_колонны .mp4", 60),
+    ("здания_дверь_колонны_перекрытия.mp4", 150),
+    ("Тёмный_коридор_колонны .mp4", 110),
 ]
 W, H = 640, 360
 FOV_DEG = 155.0
@@ -179,6 +179,107 @@ def run_ours(frames: np.ndarray):
     return chain(poses)
 
 
+def pose_step_diagnostics(frames: np.ndarray, K: np.ndarray):
+    """Per-step rotation/translation-direction disagreement between our
+    pose chain and the cv2 oracle chain (VERDICT round-1 item 8: a causal
+    breakdown of where trajectory drift comes from)."""
+    import cv2
+
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.flow.tracker import _heads, init_tracker, track_step
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.pose import estimate_relative_pose
+
+    params = TrackerParams(
+        lk=LKParams(win_size=(15, 15)),
+        max_tracks=128,
+        features=FeatureParams(max_corners=60, quality_level=0.1, max_candidates=512),
+    )
+    cam = Pinhole.from_fov(W, H, FOV_DEG)
+    step = jax.jit(lambda s, a, b: track_step(s, a, b, params))
+    state = init_tracker(params)
+    f0 = jnp.asarray(frames[0], jnp.float32)
+    state = step(state, f0, f0)
+    rot_errs, dir_errs, inliers = [], [], []
+    lk = dict(
+        winSize=(15, 15), maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+    )
+    for idx in range(1, len(frames)):
+        prev_heads = _heads(state)
+        prev_alive = np.asarray(state.alive)
+        state = step(
+            state,
+            jnp.asarray(frames[idx - 1], jnp.float32),
+            jnp.asarray(frames[idx], jnp.float32),
+        )
+        heads = _heads(state)
+        valid = np.asarray(state.alive) & prev_alive
+        if valid.sum() < 8:
+            continue
+        rp = estimate_relative_pose(
+            cam.normalize(prev_heads), cam.normalize(heads), jnp.asarray(valid)
+        )
+        # oracle pose from the same correspondences
+        p0 = np.asarray(prev_heads)[valid]
+        p1 = np.asarray(heads)[valid]
+        E, inl = cv2.findEssentialMat(
+            p0, p1, K, method=cv2.RANSAC, prob=0.999, threshold=1.0
+        )
+        if E is None or E.shape != (3, 3):
+            continue
+        _n, R_o, t_o, _m = cv2.recoverPose(E, p0, p1, K, mask=inl)
+        R_d = np.asarray(rp.R) @ R_o.T
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(R_d) - 1) / 2, -1.0, 1.0))
+        )
+        cosd = np.clip(
+            np.dot(np.asarray(rp.t).ravel(), t_o.ravel())
+            / (np.linalg.norm(rp.t) * np.linalg.norm(t_o) + 1e-12),
+            -1.0,
+            1.0,
+        )
+        rot_errs.append(ang)
+        dir_errs.append(np.degrees(np.arccos(abs(cosd))))
+        inliers.append(int(rp.n_inliers))
+    return {
+        "rot_deg_med": float(np.median(rot_errs)),
+        "rot_deg_p90": float(np.percentile(rot_errs, 90)),
+        "tdir_deg_med": float(np.median(dir_errs)),
+        "tdir_deg_p90": float(np.percentile(dir_errs, 90)),
+        "inliers_med": float(np.median(inliers)),
+        "steps": len(rot_errs),
+    }
+
+
+def run_ba(frames: np.ndarray):
+    """Keyframed ego-motion with windowed BA (nav/odometry.py): returns
+    (kf_idx, BA-refined centers, raw window-chain centers)."""
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.odometry import (
+        OdometryConfig,
+        ego_motion_track,
+    )
+
+    params = TrackerParams(
+        lk=LKParams(win_size=(15, 15)),
+        max_tracks=128,
+        features=FeatureParams(max_corners=60, quality_level=0.1, max_candidates=512),
+    )
+    cam = Pinhole.from_fov(W, H, FOV_DEG)
+    res = ego_motion_track(frames, params, cam, OdometryConfig())
+    return res.kf_idx, res.centers, res.raw_centers
+
+
 def main():
     from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
 
@@ -200,6 +301,26 @@ def main():
         span = float(
             np.linalg.norm(oracle - oracle.mean(0), axis=-1).max() + 1e-9
         )
+        # keyframed windowed-BA track vs the oracle sampled at keyframes
+        try:
+            kf_idx, ba_centers, raw_kf_centers = run_ba(frames)
+            oracle_kf = oracle[kf_idx]
+            ate_ba = ate_umeyama(ba_centers, oracle_kf)
+            ate_raw_kf = ate_umeyama(raw_kf_centers, oracle_kf)
+            span_kf = float(
+                np.linalg.norm(oracle_kf - oracle_kf.mean(0), axis=-1).max() + 1e-9
+            )
+            ba_rel = round(ate_ba["rmse"] / span_kf, 4)
+            raw_kf_rel = round(ate_raw_kf["rmse"] / span_kf, 4)
+            log(
+                f"{name}: keyframe chain ATE raw {ate_raw_kf['rmse']:.4f} "
+                f"-> BA {ate_ba['rmse']:.4f} (rel span {raw_kf_rel} -> {ba_rel})"
+            )
+        except Exception as e:
+            log(f"{name}: BA track failed: {type(e).__name__}: {e}")
+            ba_rel = raw_kf_rel = None
+        diag = pose_step_diagnostics(frames, K)
+        log(f"{name}: per-step diag {diag}")
         print(
             json.dumps(
                 {
@@ -209,6 +330,10 @@ def main():
                     "value": round(ate["rmse"], 4),
                     "unit": "unit-steps",
                     "rel_span": round(ate["rmse"] / span, 4),
+                    "ba_rel_span": ba_rel,
+                    "raw_kf_rel_span": raw_kf_rel,
+                    "step_rot_deg_med": round(diag["rot_deg_med"], 3),
+                    "step_tdir_deg_med": round(diag["tdir_deg_med"], 3),
                 }
             ),
             flush=True,

@@ -1,0 +1,95 @@
+"""Static-grid sparse LK quality vs the cv2 oracle at the REAL bench
+configuration (1080p, grid step 30) across the reference corpus.
+
+Reports per clip: EPE percentiles over all points, the divergent-point
+fraction, and danger-mask agreement after the reference's radial
+normalize + median/P99 filter (the metric that decides what the product
+actually draws). Runs the TPU kernel; cv2 runs on host.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import cv2
+
+    from hackathonopticalflow_tpu.core.config import LKParams
+    from hackathonopticalflow_tpu.core.grid import measurement_grid
+    from hackathonopticalflow_tpu.flow.lk_grid import lk_grid_flow_video
+
+    h, w = 1080, 1920
+    pts_np = measurement_grid(h, w, 30)
+    pts = jax.device_put(jnp.asarray(pts_np))
+    lk = LKParams(grid_step=30, use_pallas=True, compute_err=False)
+    n_pairs = 6
+
+    @jax.jit
+    def run_all(fr):
+        res = lk_grid_flow_video(fr[::-1].astype(jnp.float32), pts, lk=lk)
+        return res.raw_next_pts, res.good
+
+    for path in sorted(glob.glob("/root/reference/videos/*.mp4")):
+        cap = cv2.VideoCapture(path)
+        cap.set(cv2.CAP_PROP_POS_FRAMES, 30)
+        frames = []
+        for _ in range(n_pairs + 1):
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2GRAY))
+        cap.release()
+        if len(frames) < n_pairs + 1:
+            continue
+        frames = np.stack(frames)
+        nxt_d, good_d = run_all(jax.device_put(jnp.asarray(frames)))
+        nxt_d = np.asarray(nxt_d)
+        good_d = np.asarray(good_d)
+
+        epes, agrees, fr_div = [], [], []
+        for i in range(n_pairs):
+            # device scan runs reversed clip: step j tracks frame[n-1-j]
+            # into frame[n-2-j]; pair i (cur=i+1 -> prev=i) is step n-2-i
+            step = n_pairs - 1 - i
+            ref_nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
+                frames[i + 1], frames[i], pts_np.reshape(-1, 1, 2), None,
+                winSize=(45, 45), maxLevel=2,
+                criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+            )
+            ref_nxt = ref_nxt.reshape(-1, 2)
+            epe = np.linalg.norm(nxt_d[step] - ref_nxt, axis=-1)
+            epes.append(epe)
+            fr_div.append(np.mean(epe > 0.5))
+
+            def mask(endpoints):
+                f = endpoints - pts_np
+                m = np.linalg.norm(f, axis=-1)
+                dc = np.linalg.norm(pts_np - [w / 2, h / 2], axis=-1)
+                m = m / (5 + np.sqrt(dc)) * 30
+                return (np.median(m) < m) & (m < np.percentile(m, 99))
+
+            agrees.append(np.mean(mask(nxt_d[step]) == mask(ref_nxt)))
+        epe = np.concatenate(epes)
+        log(
+            f"{os.path.basename(path)[:28]:28s} epe med {np.median(epe):.1e} "
+            f"p95 {np.percentile(epe, 95):.3f} p99 {np.percentile(epe, 99):.2f} "
+            f"div>0.5px {np.mean(epe > 0.5) * 100:.2f}%  "
+            f"mask agree {np.mean(agrees) * 100:.2f}%"
+        )
+
+
+if __name__ == "__main__":
+    main()

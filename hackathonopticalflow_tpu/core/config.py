@@ -49,6 +49,39 @@ class LKParams:
     #: so larger blocks amortize the iteration loop's dependency-chain
     #: latency across more points (VMEM-bounded: block*(win+2M+3)^2 f32).
     pallas_block: int = 32
+    #: measurement-grid step: declares that the tracked points are the
+    #: STATIC measurement grid of the frame (core/grid.measurement_grid),
+    #: enabling the grid-anchored static-extraction kernel
+    #: (ops/lk_pallas2.py) — templates and search slabs are carved with
+    #: static strided slices instead of per-point dynamic slices. The
+    #: caller MUST pass exactly measurement_grid(h, w, grid_step) as pts.
+    grid_step: int | None = None
+    #: static-grid path: within-level drift budget around the coarse-level
+    #: init (px at the level's scale — on violent-turn clips the coarse
+    #: init can be ~10 px off, so this matches the v1 kernel's 16 px
+    #: budget); the slab margins (41 px horizontal, 36 px vertical per
+    #: level) bound the TOTAL flow instead — beyond margin-iter_margin
+    #: (25/24 px per level scale) a point freezes at its coarse estimate.
+    iter_margin: int = 12
+    #: static-grid path: vertical slab margin (rows are the kernel's
+    #: phase-A cost axis; horizontal margin is fixed at (128-win-1)//2 by
+    #: the 128-lane slab width). Points with |flow_y| beyond
+    #: slab_margin_y - iter_margin per level scale freeze at their coarse
+    #: estimate.
+    slab_margin_y: int = 36
+    #: static-grid path: drift budget at the TOP pyramid level, where the
+    #: init is zero flow and the whole displacement must be found within
+    #: the level (36 px at 1/2^max_level scale = a 144 px flow at full
+    #: resolution for max_level=2 — beyond cv2's practical range for a
+    #: 45 px window).
+    iter_margin_top: int = 32
+    #: compute the per-point residual err output at level 0 (OpenCV's err;
+    #: the reference pipeline never reads it — benches turn this off to
+    #: skip a 2304-point dynamic-slice extraction pass).
+    compute_err: bool = True
+    #: static-grid kernel: early-exit the iteration loop when every point
+    #: in the block converged (while_loop) vs a fixed-trip fori_loop.
+    early_exit: bool = True
 
     @property
     def win_area(self) -> int:

@@ -77,10 +77,25 @@ def sep_conv2d(
     pad = [(0, 0)] * (img.ndim - 2) + [(ry, ry), (rx, rx)]
     x = jnp.pad(img, pad, mode=mode)
     if _use_mxu():
-        if len(kx) > 1:
+        # narrow kernels: shifted multiply-adds on the VPU (a k-tap conv
+        # as a k x n_out banded MATMUL pays n_out/k times the FLOPs — a
+        # ~300x waste for Scharr/pyrDown taps at 1080p)
+        if 1 < len(kx) <= 9:
+            w_out = x.shape[-1] - len(kx) + 1
+            acc = x[..., :w_out] * kx[0]
+            for t in range(1, len(kx)):
+                acc = acc + x[..., t : t + w_out] * kx[t]
+            x = acc
+        elif len(kx) > 1:
             bx = _band_matrix(x.shape[-1], kx)
             x = jnp.einsum("...hw,wo->...ho", x, bx, precision=_PRECISION)
-        if len(ky) > 1:
+        if 1 < len(ky) <= 9:
+            h_out = x.shape[-2] - len(ky) + 1
+            acc = x[..., :h_out, :] * ky[0]
+            for t in range(1, len(ky)):
+                acc = acc + x[..., t : t + h_out, :] * ky[t]
+            x = acc
+        elif len(ky) > 1:
             by = _band_matrix(x.shape[-2], ky)
             x = jnp.einsum("...hw,ho->...ow", x, by, precision=_PRECISION)
         return x

@@ -70,9 +70,20 @@ class PreparedFrame(NamedTuple):
     diy_p: tuple  # per level: zero-padded d/dy
 
 
-def prepare_frame(img: jnp.ndarray, params: LKParams) -> PreparedFrame:
+def _frame_pad(params: LKParams) -> int:
+    """Window-sampling border pad. The static-grid path needs extra room:
+    slab margins (41/40 px) plus the half-window can reach ~63 px beyond
+    the frame at the top level (ops/grid_patch.py carve asserts cover
+    any residual violation)."""
     win_w, win_h = params.win_size
     pad = max(win_w, win_h) + 2
+    if params.grid_step is not None:
+        pad += 24
+    return pad
+
+
+def prepare_frame(img: jnp.ndarray, params: LKParams) -> PreparedFrame:
+    pad = _frame_pad(params)
     pyr = build_pyramid(img.astype(jnp.float32), params.max_level, quantize_u8=True)
     imgs, dxs, dys = [], [], []
     for lv in pyr:
@@ -96,7 +107,7 @@ def _level_lk(
     half_w = (win_w - 1) * 0.5
     half_h = (win_h - 1) * 0.5
     halfwin = jnp.array([half_w, half_h], jnp.float32)
-    pad = max(win_w, win_h) + 2
+    pad = _frame_pad(params)
     eps2 = jnp.float32(max(params.eps, 0.0) ** 2)
 
     img_prev_p = prev_prep.img_p[level]
@@ -263,6 +274,94 @@ def _level_lk(
     return next_center_out, status, err
 
 
+def _level_lk_static_grid(
+    prev_prep: PreparedFrame,
+    next_prep: PreparedFrame,
+    grid_xy: tuple,
+    next_center: jnp.ndarray,
+    status: jnp.ndarray,
+    level: int,
+    params: LKParams,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Grid-anchored level step: static template/slab extraction
+    (ops/grid_patch.py) + the phase-A/phase-B kernel (ops/lk_pallas2.py).
+
+    Numerically matches _level_lk for flows inside the slab margins
+    (41 px * 2^level horizontal, 40 px * 2^level vertical) with within-
+    level drift <= iter_margin from the coarse init."""
+    import numpy as np
+
+    from .grid_patch import (
+        extract_grid_slabs_blocked,
+        extract_grid_templates_blocked,
+    )
+    from .lk_pallas2 import lk_iterate_grid
+
+    xs, ys = grid_xy
+    win_w, win_h = params.win_size
+    half_w = (win_w - 1) * 0.5
+    half_h = (win_h - 1) * 0.5
+    halfwin = jnp.array([half_w, half_h], jnp.float32)
+    pad = _frame_pad(params)
+    img_prev_p = prev_prep.img_p[level]
+    h = img_prev_p.shape[0] - 2 * pad
+    w = img_prev_p.shape[1] - 2 * pad
+    margin_x = (128 - win_w - 1) // 2
+    margin_y = params.slab_margin_y
+
+    planes = jnp.stack(
+        [img_prev_p, prev_prep.dix_p[level], prev_prep.diy_p[level]]
+    )
+    # (3, Ky, win_h, Kx*128) i16 — the kernel's native blocked layout;
+    # the structure tensor / spectral gating happen in-kernel
+    tmpl = extract_grid_templates_blocked(
+        planes, xs, ys, level, win_w, win_h, pad
+    )
+
+    slabs, bx, by = extract_grid_slabs_blocked(
+        next_prep.img_p[level], xs, ys, level, win_w, win_h,
+        margin_x, margin_y, pad,
+    )
+    base = jnp.asarray(
+        np.stack(np.meshgrid(bx, by, indexing="ij"), -1).reshape(-1, 2),
+        jnp.int32,
+    )
+    next_tl0 = next_center - halfwin
+    n = next_tl0.shape[0]
+
+    m_iter = (
+        params.iter_margin_top if level == params.max_level else params.iter_margin
+    )
+    next_tl, status = lk_iterate_grid(
+        tmpl, slabs, base, next_tl0, status,
+        win_w=win_w, win_h=win_h, m_iter=m_iter,
+        level_w=w, level_h=h, max_iters=params.max_iters,
+        eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
+        min_eig_threshold=params.min_eig_threshold,
+        early_exit=params.early_exit,
+    )
+    next_center_out = next_tl + halfwin
+    if level == 0 and params.compute_err:
+        tv0 = tmpl[0].reshape(len(ys), win_h, len(xs), 128)[..., :win_w]
+        iw_pts = (
+            jnp.moveaxis(tv0, 2, 0).reshape(n, win_h, win_w).astype(jnp.float32)
+            / 32.0
+        )
+        jw = extract_patches(
+            next_prep.img_p[level], next_tl + jnp.float32(pad), win_h, win_w
+        )
+        err = jnp.sum(jnp.abs(jw - iw_pts), axis=(1, 2)) / (win_w * win_h)
+        err = jnp.where(status, err, 0.0)
+    else:
+        err = jnp.zeros(n, jnp.float32)
+    return next_center_out, status, err
+
+
+def _fix_q(x):
+    """OpenCV W_BITS window quantization (1/32-intensity grid)."""
+    return jnp.floor(x * 32.0 + 0.5) * (1.0 / 32.0)
+
+
 def pyr_lk(
     img_prev: jnp.ndarray,
     img_next: jnp.ndarray,
@@ -288,7 +387,30 @@ def pyr_lk_prepared(
     params: LKParams = LKParams(),
 ) -> LKResult:
     """pyr_lk over frames prepared with prepare_frame — the form video
-    scans use so each frame's pyramid is built once, not twice."""
+    scans use so each frame's pyramid is built once, not twice.
+
+    With params.grid_step set, pts MUST be the static measurement grid
+    (core/grid.measurement_grid of the frame size) — the grid-anchored
+    static-extraction kernel path is used (ops/lk_pallas2.py)."""
+    grid_xy = None
+    if params.grid_step is not None:
+        import numpy as np
+
+        from ..core.grid import measurement_grid
+
+        pad = _frame_pad(params)
+        h = prep_prev.img_p[0].shape[0] - 2 * pad
+        w = prep_prev.img_p[0].shape[1] - 2 * pad
+        gpts = measurement_grid(h, w, params.grid_step)
+        assert gpts.shape[0] == pts.shape[0], (
+            f"pts must be measurement_grid({h}, {w}, {params.grid_step}): "
+            f"expected {gpts.shape[0]} points, got {pts.shape[0]}"
+        )
+        grid_xy = (
+            np.unique(gpts[:, 0]).astype(int),
+            np.unique(gpts[:, 1]).astype(int),
+        )
+
     pts = pts.astype(jnp.float32)
     status = jnp.ones(pts.shape[0], dtype=bool)
     err = jnp.zeros(pts.shape[0], jnp.float32)
@@ -296,13 +418,18 @@ def pyr_lk_prepared(
     for level in range(params.max_level, -1, -1):
         if level != params.max_level:
             next_center = next_center * 2.0
-        next_center, status, err = _level_lk(
-            prep_prev,
-            prep_next,
-            pts,
-            next_center,
-            status,
-            level,
-            params,
-        )
+        if grid_xy is not None:
+            next_center, status, err = _level_lk_static_grid(
+                prep_prev, prep_next, grid_xy, next_center, status, level, params
+            )
+        else:
+            next_center, status, err = _level_lk(
+                prep_prev,
+                prep_next,
+                pts,
+                next_center,
+                status,
+                level,
+                params,
+            )
     return LKResult(next_pts=next_center, status=status, err=err)

@@ -23,7 +23,16 @@ def pyr_down(img: jnp.ndarray, quantize_u8: bool = False) -> jnp.ndarray:
     quantize_u8 reproduces OpenCV's uint8 pyramid storage (fixed-point
     accumulate, round-half-up descale) while keeping float dtype."""
     smoothed = sep_conv2d(img, _PYR_K, _PYR_K, mode="reflect")
-    out = smoothed[..., ::2, ::2]
+    # even-index subsample via pad+reshape+slice: a [::2, ::2] strided
+    # slice lowers to a ~1.6 GB/s gather on TPU (measured 6.1 ms at
+    # 1080p); this form is ~free (0.1 ms)
+    h, w = smoothed.shape[-2:]
+    if h % 2:
+        smoothed = jnp.pad(smoothed, [(0, 0)] * (smoothed.ndim - 2) + [(0, 1), (0, 0)])
+    s2 = smoothed.reshape(smoothed.shape[:-2] + ((h + 1) // 2, 2, w))[..., 0, :]
+    if w % 2:
+        s2 = jnp.pad(s2, [(0, 0)] * (s2.ndim - 1) + [(0, 1)])
+    out = s2.reshape(s2.shape[:-1] + ((w + 1) // 2, 2))[..., 0]
     if quantize_u8:
         out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
     return out
