@@ -260,7 +260,11 @@ def extract_grid_templates_blocked(
         # window values stay within i16) + lane pad to `lane`
         q = jnp.floor(wnd * 32.0 + 0.5).astype(jnp.int16)
         pieces.append(jnp.pad(q, [(0, 0)] * 3 + [(0, lane - win_w)]))
-    return jnp.concatenate(pieces, axis=-1)  # (C, Ky, win_h, Kx*lane)
+    # stack kx on a NEW axis then merge with ky: point-major (C, N, win_h,
+    # lane) in the grid's x-major order, still with zero transposes
+    out = jnp.stack(pieces, axis=1)  # (C, Kx, Ky, win_h, lane)
+    c, kx, ky_, wh, _ = out.shape
+    return out.reshape(c, kx * ky_, wh, lane)
 
 
 def extract_grid_slabs_blocked(
@@ -289,10 +293,11 @@ def extract_grid_slabs_blocked(
     rows = jnp.stack(
         [p[int(b) + pad : int(b) + pad + ry, :] for b in by], axis=0
     )  # (Ky, Ry, Wp)
-    cols = jnp.concatenate(
-        [rows[..., int(b) + pad : int(b) + pad + rx] for b in bx], axis=-1
-    )  # (Ky, Ry, Kx*Rx)
-    return cols, bx, by
+    cols = jnp.stack(
+        [rows[..., int(b) + pad : int(b) + pad + rx] for b in bx], axis=0
+    )  # (Kx, Ky, Ry, Rx) — point-major after a free reshape
+    kx_, ky_, ry_, rx_ = cols.shape
+    return cols.reshape(kx_ * ky_, ry_, rx_), bx, by
 
 
 def extract_grid_templates(

@@ -338,7 +338,7 @@ def _level_lk_static_grid(
         level_w=w, level_h=h, max_iters=params.max_iters,
         eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
         min_eig_threshold=params.min_eig_threshold,
-        early_exit=params.early_exit,
+        early_exit=params.early_exit, block_n=params.pallas_block,
     )
     next_center_out = next_tl + halfwin
     if level == 0 and params.compute_err:

@@ -51,8 +51,8 @@ def _ladder_bits(maxval: int) -> tuple[int, ...]:
 
 
 def lk_iterate_grid(
-    tmpl: jnp.ndarray,  # (3, Ky, win_h, Kx*128) i16 templates (x32 grid)
-    slabs: jnp.ndarray,  # (Ky, Ry, Kx*128) i16 grid-anchored search slabs
+    tmpl: jnp.ndarray,  # (3, N, win_h, 128) i16 templates (x32 grid)
+    slabs: jnp.ndarray,  # (N, Ry, 128) i16 grid-anchored search slabs
     slab_base: jnp.ndarray,  # (N, 2) i32 [x, y] UNPADDED slab origins, x-major
     next_tl0: jnp.ndarray,  # (N, 2) f32 initial window top-left (unpadded)
     status0: jnp.ndarray,  # (N,) bool
@@ -67,25 +67,22 @@ def lk_iterate_grid(
     is_level0: bool,
     min_eig_threshold: float = 1e-4,
     early_exit: bool = True,
+    block_n: int = 48,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Template/slab inputs arrive in the extraction-native blocked layout
-    (ops/grid_patch.py *_blocked): tmpl (3, Ky, win_h, Kx*128) int16 on
-    OpenCV's x32 window grid; slabs (Ky, Ry, Kx*128) int16. One block =
-    bky points of one grid COLUMN, streamed with zero relayout; the
+    (ops/grid_patch.py *_blocked): tmpl (3, N, win_h, 128) int16 on
+    OpenCV's x32 window grid; slabs (N, Ry, 128) int16, both point-major
+    in the grid's x-major order and streamed with zero relayout; the
     W_BITS dequantization, structure tensor, and its spectral gating all
     happen in-kernel (no f32 template array ever materializes in HBM).
-    Per-point vectors are x-major (N,), N = Kx * Ky."""
-    rx = 128
-    ky, ry, kxrx = slabs.shape
-    kx = kxrx // rx
-    n = kx * ky
-    # block = bky consecutive ky at one kx; largest divisor of Ky <= 64
-    bky = ky
-    while bky > 64 or ky % bky:
-        bky -= 1
-    b = bky
-    groups = ky // bky
-    nb = kx * groups
+    Per-point vectors are x-major (N,)."""
+    n, ry, rx = slabs.shape
+    assert rx == 128
+    # largest divisor of N <= block_n points per block (VMEM-bounded)
+    b = min(block_n, n)
+    while n % b:
+        b -= 1
+    nb = n // b
     crop_y = win_h + 1 + 2 * m_iter
     crop_x = win_w + 1 + 2 * m_iter
     assert crop_y <= ry and crop_x <= rx
@@ -234,22 +231,14 @@ def lk_iterate_grid(
         c_idx = lax.broadcasted_iota(jnp.int32, (b, 8), 1)
         out_r[0] = jnp.where(c_idx == 0, tlx, jnp.where(c_idx == 1, tly, status_f))
 
-    # grid step i -> grid column kx = i // groups, ky block i % groups;
-    # x-major point ranges [i*b, (i+1)*b) are exactly these blocks
     def rspec():
         return pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0))
 
     def as_rows(x):
         return x.astype(jnp.float32).reshape(nb, b, 1)
 
-    tmpl_spec = pl.BlockSpec(
-        (3, b, win_h, 128),
-        lambda i: (0, i % groups, 0, i // groups),
-    )
-    slab_spec = pl.BlockSpec(
-        (b, ry, rx),
-        lambda i: (i % groups, 0, i // groups),
-    )
+    tmpl_spec = pl.BlockSpec((3, b, win_h, 128), lambda i: (0, i, 0, 0))
+    slab_spec = pl.BlockSpec((b, ry, rx), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         kernel,
         grid=(nb,),

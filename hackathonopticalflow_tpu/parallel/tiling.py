@@ -38,10 +38,44 @@ from ..ops.farneback import farneback
 from .halo import halo_exchange_rows
 
 
+def derive_halo(
+    params: FarnebackParams = FarnebackParams(), max_displacement: float = 30.0
+) -> int:
+    """Halo rows needed for the recompute-in-halo scheme to reproduce the
+    single-device flow in every core row, derived from the algorithm's
+    receptive field at the COARSEST level (the finest-grained reads are
+    the widest in full-resolution pixels):
+
+        (win//2 + poly_n + 2) / s_min + max_displacement
+
+    where s_min = pyr_scale^levels: one flow-smoothing window plus the
+    polynomial-expansion taps at the coarsest level (where each level
+    pixel spans 1/s_min full-res rows), plus the worst-case displaced
+    coefficient read. Repeated iterations and cross-level seeding are
+    NOT multiplied in: the box filters average (boundary error decays
+    with distance rather than propagating at full strength), and the
+    coarse flow seeds the finer level only within the bilinear resize
+    neighborhood — validated by tests/test_parallel.py's 3-level
+    large-frame tiled-vs-single check; the deliberately-too-small-halo
+    test shows the failure signature when this is violated."""
+    s_min = params.pyr_scale**params.levels
+    rf = (params.win_size // 2 + params.poly_n + 2) / s_min + max_displacement
+    return int(-(-rf // 2) * 2)  # round up to even (pyramid grid alignment)
+
+
 @dataclasses.dataclass(frozen=True)
 class TileConfig:
     axis: str = "tile"
     halo: int = 96
+
+    @classmethod
+    def for_params(
+        cls,
+        params: FarnebackParams = FarnebackParams(),
+        max_displacement: float = 30.0,
+        axis: str = "tile",
+    ) -> "TileConfig":
+        return cls(axis=axis, halo=derive_halo(params, max_displacement))
 
 
 def tiled_farneback(
