@@ -1,7 +1,7 @@
 """Per-stage timing of the static-grid sparse LK path on the real TPU.
 
-Times: prepare_frame, static template extraction, static slab extraction,
-the lk_pallas2 kernel alone (per level), and the full pyr_lk — at the
+Times: prepare_frame, blocked template/slab extraction, the lk_pallas2
+kernel alone (per level, block variants), and the full pyr_lk — at the
 1080p reference configuration. Diagnostic tool; not the driver bench.
 """
 
@@ -27,7 +27,8 @@ def timeit(name, fn, *args, reps=8):
     def run(*a):
         def body(acc, _):
             out = fn(a[0] + acc * 1e-30, *a[1:])
-            return jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]) * 1e-30, None
+            leaf = jax.tree.leaves(out)[0]
+            return jnp.sum(leaf.ravel()[:1]).astype(jnp.float32) * 1e-30, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
         return acc
@@ -42,10 +43,10 @@ def timeit(name, fn, *args, reps=8):
             _ = float(run(*args))
             best = min(best, time.perf_counter() - t0)
         ms = best / reps * 1e3
-        log(f"{name:44s} {ms:8.2f} ms/call   (compile {compile_s:.1f}s)")
+        log(f"{name:48s} {ms:8.2f} ms/call   (compile {compile_s:.1f}s)")
         return ms
     except Exception as e:
-        log(f"{name:44s} FAILED {type(e).__name__}: {str(e)[:200]}")
+        log(f"{name:48s} FAILED {type(e).__name__}: {str(e)[:200]}")
         return None
 
 
@@ -53,14 +54,14 @@ def main():
     from hackathonopticalflow_tpu.core.config import LKParams
     from hackathonopticalflow_tpu.core.grid import measurement_grid
     from hackathonopticalflow_tpu.ops.grid_patch import (
-        extract_grid_slabs,
-        extract_grid_templates,
+        extract_grid_slabs_blocked,
+        extract_grid_templates_blocked,
     )
     from hackathonopticalflow_tpu.ops.lk import (
         _frame_pad,
-        _level_lk_static_grid,
         prepare_frame,
         pyr_lk,
+        pyr_lk_prepared,
     )
     from hackathonopticalflow_tpu.ops.lk_pallas2 import lk_iterate_grid
 
@@ -75,62 +76,89 @@ def main():
     n = pts_np.shape[0]
     params = LKParams(grid_step=30, use_pallas=True, compute_err=False)
     pad = _frame_pad(params)
+    win_w, win_h = params.win_size
+    margin_x = (128 - win_w - 1) // 2
+    margin_y = params.slab_margin_y
     log(f"device {jax.devices()[0]}; {n} points at {h}x{w}; pad {pad}")
 
-    timeit("full pyr_lk (static-grid v2)", lambda x, y, p: pyr_lk(x, y, p, params)[0], a, b, pts)
+    timeit(
+        "full pyr_lk (static-grid v2)",
+        lambda x, y, p: pyr_lk(x, y, p, params)[0],
+        a, b, pts,
+    )
+    prep_a = jax.jit(lambda x: prepare_frame(x, params))(a)
+    prep_b = jax.jit(lambda x: prepare_frame(x, params))(b)
+    timeit(
+        "pyr_lk_prepared (both pyramids amortized)",
+        lambda p: pyr_lk_prepared(
+            jax.tree.map(lambda t: t + p * 0, prep_a), prep_b, pts, params
+        )[0],
+        jnp.float32(0),
+    )
     timeit("prepare_frame", lambda x: prepare_frame(x, params).img_p[0], a)
 
-    prep = jax.jit(lambda x: prepare_frame(x, params))(a)
-    planes0 = jnp.stack([prep.img_p[0], prep.dix_p[0], prep.diy_p[0]])
-    timeit(
-        "templates L0 (static extract)",
-        lambda p: extract_grid_templates(p, xs, ys, 0, 45, 45, pad),
-        planes0,
-    )
-    timeit(
-        "slabs L0 (static extract, bf16)",
-        lambda p: extract_grid_slabs(p, xs, ys, 0, 45, 45, 41, 40, pad)[0],
-        prep.img_p[0],
-    )
+    for level in range(3):
+        planes = jnp.stack(
+            [prep_a.img_p[level], prep_a.dix_p[level], prep_a.diy_p[level]]
+        )
+        timeit(
+            f"templates L{level} (blocked extract)",
+            lambda p, lv=level: extract_grid_templates_blocked(
+                p, xs, ys, lv, win_w, win_h, pad
+            ),
+            planes,
+        )
+        timeit(
+            f"slabs L{level} (blocked extract)",
+            lambda p, lv=level: extract_grid_slabs_blocked(
+                p, xs, ys, lv, win_w, win_h, margin_x, margin_y, pad
+            )[0],
+            prep_b.img_p[level],
+        )
 
-    # kernel alone at L0 shapes
-    slabs, bx, by = jax.jit(
-        lambda p: extract_grid_slabs(p, xs, ys, 0, 45, 45, 41, 40, pad)
-    )(prep.img_p[0])
-    base = jnp.asarray(
-        np.stack(np.meshgrid(bx, by, indexing="ij"), -1).reshape(-1, 2), jnp.int32
-    )
-    tmpl = jax.jit(
-        lambda p: extract_grid_templates(p, xs, ys, 0, 45, 45, pad)
-    )(planes0)
-    iw = tmpl[:, 0]
-    amat = jnp.concatenate(
-        [jnp.ones((n, 3), jnp.float32), jnp.full((n, 1), 1e-3)], axis=-1
-    )
-    tl0 = pts - 22.0
-    act = jnp.ones((n,), bool)
+    # kernel alone at each level's shapes
+    for level in range(3):
+        planes = jnp.stack(
+            [prep_a.img_p[level], prep_a.dix_p[level], prep_a.diy_p[level]]
+        )
+        tmpl = jax.jit(
+            lambda p, lv=level: extract_grid_templates_blocked(
+                p, xs, ys, lv, win_w, win_h, pad
+            )
+        )(planes)
+        slabs, bx, by = jax.jit(
+            lambda p, lv=level: extract_grid_slabs_blocked(
+                p, xs, ys, lv, win_w, win_h, margin_x, margin_y, pad
+            )
+        )(prep_b.img_p[level])
+        base = jnp.asarray(
+            np.stack(np.meshgrid(bx, by, indexing="ij"), -1).reshape(-1, 2),
+            jnp.int32,
+        )
+        lw, lh = w >> level, h >> level
+        scale = 1.0 / (1 << level)
+        tl0 = pts * scale - 22.0
+        st = jnp.ones((n,), jnp.float32)
+        m_iter = (
+            params.iter_margin_top if level == params.max_level else params.iter_margin
+        )
 
-    def kern(iw_, early_exit, m_iter, max_iters=10, block=32):
-        return lk_iterate_grid(
-            iw_, iw_, iw_, slabs, base, tl0, amat, act, act,
-            win_w=45, win_h=45, m_iter=m_iter, level_w=w, level_h=h,
-            max_iters=max_iters, eps2=0.0009, is_level0=True,
-            block_n=block, early_exit=early_exit,
-        )[0]
+        def kern(tm, m=m_iter, lv=level, block=48, ee=True, iters=10):
+            return lk_iterate_grid(
+                tm, slabs, base, tl0, st,
+                win_w=win_w, win_h=win_h, m_iter=m,
+                level_w=lw, level_h=lh, max_iters=iters,
+                eps2=0.0009, is_level0=(lv == 0),
+                early_exit=ee, block_n=block,
+            )[0]
 
-    timeit("kernel L0 (while, m=16, b32)", lambda x: kern(x, True, 16), iw)
-    timeit("kernel L0 (while, m=12, b32)", lambda x: kern(x, True, 12), iw)
-    timeit("kernel L0 (while, m=12, b48)", lambda x: kern(x, True, 12, block=48), iw)
-    timeit("kernel L0 (while, m=12, b64)", lambda x: kern(x, True, 12, block=64), iw)
-    timeit("kernel L0 (fori1, m=12, b48)", lambda x: kern(x, False, 12, max_iters=1, block=48), iw)
-
-    # extraction sub-stages
-    from hackathonopticalflow_tpu.ops.grid_patch import axis_windows
-    timeit("tmpl rows-only (3ch)", lambda p: axis_windows(jnp.swapaxes(p, -1, -2), ys, 0, 22.0, 45, pad, blend=True)[0], planes0)
-    rows0 = jax.jit(lambda p: axis_windows(jnp.swapaxes(p, -1, -2), ys, 0, 22.0, 45, pad, blend=True)[0])(planes0)
-    timeit("tmpl cols-only", lambda r: axis_windows(jnp.moveaxis(r, 1, -1), xs, 0, 22.0, 45, pad, blend=True)[0], rows0)
-    cols0 = jax.jit(lambda r: axis_windows(jnp.moveaxis(r, 1, -1), xs, 0, 22.0, 45, pad, blend=True)[0])(rows0)
-    timeit("tmpl final transpose+reshape", lambda c: jnp.moveaxis(jnp.moveaxis(c, 3, 0), 2, 1).reshape(-1, 3, 45, 45), cols0)
+        timeit(f"kernel L{level} (while, m={m_iter}, b48)", kern, tmpl)
+        if level == 0:
+            timeit("kernel L0 (while, m=12, b32)", lambda t: kern(t, block=32), tmpl)
+            timeit("kernel L0 (while, m=12, b96)", lambda t: kern(t, block=96), tmpl)
+            timeit("kernel L0 (while, m=8, b48)", lambda t: kern(t, m=8), tmpl)
+            timeit("kernel L0 (fori10, m=12, b48)", lambda t: kern(t, ee=False), tmpl)
+            timeit("kernel L0 (fori1, m=12, b48)", lambda t: kern(t, ee=False, iters=1), tmpl)
 
 
 if __name__ == "__main__":

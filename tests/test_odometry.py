@@ -105,12 +105,16 @@ def test_build_window_masks_slot_reuse():
     pos = np.zeros((f, t, 2), np.float32)
     alive = np.ones((f, t), bool)
     birth = np.zeros((f, t), np.int32)
-    birth[4:, 1] = 4  # slot 1 re-seeded at frame 4
+    birth[3:, 1] = 3  # slot 1 re-seeded at frame 3
+    birth[5:, 2] = 5  # slot 2 re-seeded at frame 5: 1 keyframe obs only
     table = TrackTable(pos=pos, alive=alive, birth=birth)
     kf = np.array([0, 3, 6])
     _, mask = build_window(table, kf, OdometryConfig())
     assert mask[:, 0].all()  # stable slot fully observed
-    assert not mask[0, 1] and not mask[1, 1] and mask[2, 1]
+    # re-seeded track: excluded before its birth, kept at kf 3 and 6
+    assert not mask[0, 1] and mask[1, 1] and mask[2, 1]
+    # a track with a single keyframe observation is useless for BA
+    assert not mask[:, 2].any()
 
 
 def test_ego_motion_track_synthetic_clip():
