@@ -82,6 +82,25 @@ def steady_fps(run, arg, n_pairs, reps=3, label=""):
     return fps
 
 
+def cpu_fps_protocol(step, n, rounds=5, label=""):
+    """Pinned CPU-baseline protocol (VERDICT r1): median of `rounds`
+    timing rounds of n frame-pairs each, so one host-load spike can't
+    halve (or double) the baseline. `step(i)` runs pair i's full CPU
+    pipeline."""
+    per_round = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(n):
+            step(i)
+        per_round.append(n / (time.perf_counter() - t0))
+    med = sorted(per_round)[len(per_round) // 2]
+    log(
+        f"cpu {label}: median {med:.2f} fps over {rounds} rounds "
+        f"({[round(f, 2) for f in per_round]})"
+    )
+    return med
+
+
 def bench_dense(n_pairs: int = 24):
     """Headline: dense Farneback 720p, ours vs cv2 CPU."""
     from hackathonopticalflow_tpu.core.config import FarnebackParams
@@ -93,13 +112,13 @@ def bench_dense(n_pairs: int = 24):
         import cv2
 
         n = min(4, n_pairs)
-        t0 = time.perf_counter()
-        for i in range(n):
-            cv2.calcOpticalFlowFarneback(
+        cpu_fps = cpu_fps_protocol(
+            lambda i: cv2.calcOpticalFlowFarneback(
                 frames[i], frames[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0
-            )
-        cpu_fps = n / (time.perf_counter() - t0)
-        log(f"cpu cv2 Farneback 720p: {cpu_fps:.2f} fps")
+            ),
+            n,
+            label="cv2 Farneback 720p",
+        )
     except Exception:
         log("no cv2 cpu baseline")
 
@@ -131,9 +150,7 @@ def bench_sparse(n_pairs: int = 8):
     try:
         import cv2
 
-        n = min(5, n_pairs)
-        t0 = time.perf_counter()
-        for i in range(n):
+        def cpu_step(i):
             nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
                 frames[i + 1], frames[i], pts_np.reshape(-1, 1, 2), None,
                 winSize=(45, 45), maxLevel=2,
@@ -144,14 +161,18 @@ def bench_sparse(n_pairs: int = 8):
             dc = np.linalg.norm(pts_np - [w / 2, h / 2], axis=-1)
             m = m / (5 + np.sqrt(dc)) * 30
             _ = (np.median(m) < m) & (m < np.percentile(m, 99))
-        cpu_fps = n / (time.perf_counter() - t0)
-        log(f"cpu reference sparse pipeline 1080p: {cpu_fps:.2f} fps")
+
+        cpu_fps = cpu_fps_protocol(
+            cpu_step, min(5, n_pairs), label="reference sparse pipeline 1080p"
+        )
     except Exception:
         log("no cv2 cpu baseline")
 
     pts = jax.device_put(jnp.asarray(pts_np))
     dev = jax.device_put(jnp.asarray(frames))
-    lk_params = LKParams(use_pallas=jax.default_backend() == "tpu", slab_margin=16)
+    # static-grid v2 kernel (ops/lk_pallas2.py): grid-anchored slabs,
+    # blocked static extraction; the reference pipeline never reads err
+    lk_params = LKParams(grid_step=30, use_pallas=True, compute_err=False)
 
     @jax.jit
     def run_all(fr):

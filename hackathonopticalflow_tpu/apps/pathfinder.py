@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..core.config import FilterParams, GridParams, LKParams, NormalizeParams
 from ..core.grid import measurement_grid
-from ..flow.lk_grid import lk_grid_flow
+from ..flow.lk_grid import GridFlowResult, lk_grid_flow, lk_grid_flow_video
+from ..io.prefetch import FramePrefetcher
 from ..io.video import HAVE_CV2, VideoReader
 from ..utils.logging import get_logger
 from ..viz.draw import add_layers, put_text
@@ -180,6 +181,116 @@ class PathfinderApp:
             "mean_danger_points": float(np.mean(danger_counts)) if danger_counts else 0.0,
         }
 
+    def run_batched(
+        self,
+        chunk: int = 24,
+        out_path: str | None = None,
+        render: bool = False,
+    ) -> dict:
+        """Headless chunked pipeline — the config-3 end-to-end path.
+
+        A background thread decodes + gray-converts frames
+        (io/prefetch.py); chunks of `chunk` frame-pairs cross to the
+        device as ONE uint8 transfer; one jitted lax.scan
+        (flow/lk_grid.py lk_grid_flow_video) computes the whole chunk's
+        LK -> radial normalize -> robust filter; and the result fetch of
+        chunk i overlaps chunk i+1's decode + dispatch (async dispatch is
+        the sync point, not block_until_ready). Produces the same
+        per-frame outputs as the reference's serial loop
+        (pathfinder_viewer.py:270-358) at a fraction of the dispatch
+        cost — the per-frame path pays the ~30 ms relay round trip every
+        frame; this path pays it once per `chunk` pairs."""
+        cfg = self.cfg
+        import cv2 as _cv2
+
+        keep_bgr = render or out_path is not None
+        pre = FramePrefetcher(
+            cfg.video,
+            start_frame=cfg.start_frame,
+            max_frames=None if cfg.max_frames is None else cfg.max_frames + 1,
+            depth=chunk + 2,
+            to_device=False,
+            keep_bgr=keep_bgr,
+        )
+        pts_dev = jax.device_put(jnp.asarray(self.pts, jnp.float32))
+        lk, norm, filt = cfg.lk, cfg.norm, cfg.filt
+
+        @jax.jit
+        def chunk_fn(frames_u8):
+            return lk_grid_flow_video(frames_u8, pts_dev, lk=lk, norm=norm, filt=filt)
+
+        writer = None
+        if out_path is not None:
+            writer = _cv2.VideoWriter(
+                out_path,
+                _cv2.VideoWriter_fourcc(*"mp4v"),
+                self.reader.fps or 25.0,
+                (self.reader.width, self.reader.height),
+            )
+
+        # compile outside the clock: the e2e number is steady-state
+        # throughput (the reference's FPS overlay also reports post-warmup
+        # per-frame rate, pathfinder_viewer.py:339-356)
+        h, w = self.reader.height, self.reader.width
+        jax.block_until_ready(
+            chunk_fn(jnp.zeros((chunk + 1, h, w), jnp.uint8)).modulus
+        )
+
+        n = 0
+        danger_counts = []
+        t_start = time.time()
+        pending = None  # (device result, bgr frames of pairs, valid pair count)
+
+        def consume(p):
+            nonlocal n
+            res, bgrs, count = p
+            host = GridFlowResult(*[np.asarray(x) for x in res])  # blocks here
+            for i in range(count):
+                danger_counts.append(int(host.good[i].sum()))
+                n += 1
+                if writer is not None or render:
+                    one = GridFlowResult(*[a[i] for a in host])
+                    fps_now = n / max(time.time() - t_start, 1e-9)
+                    out = self.render_frame(bgrs[i], one, fps=fps_now)
+                    if writer is not None:
+                        writer.write(out)
+
+        def dispatch(grays, bgrs):
+            nonlocal pending
+            valid = len(grays) - 1
+            if valid < 1:
+                return
+            if valid < chunk:  # pad the tail chunk to avoid a recompile
+                grays = grays + [grays[-1]] * (chunk - valid)
+            dev = jax.device_put(jnp.asarray(np.stack(grays)))
+            res = chunk_fn(dev)  # async dispatch
+            prev, pending = pending, (res, bgrs[1:], valid)
+            if prev is not None:
+                consume(prev)
+
+        buf_gray: list = []
+        buf_bgr: list = []
+        for item in pre:
+            bgr, gray = item if keep_bgr else (None, item)
+            buf_gray.append(gray)
+            buf_bgr.append(bgr)
+            if len(buf_gray) == chunk + 1:
+                dispatch(buf_gray, buf_bgr)
+                buf_gray, buf_bgr = [buf_gray[-1]], [buf_bgr[-1]]
+        if len(buf_gray) > 1:
+            dispatch(buf_gray, buf_bgr)
+        if pending is not None:
+            consume(pending)
+        if writer is not None:
+            writer.release()
+        wall = time.time() - t_start
+        return {
+            "frames": n,
+            "wall_s": wall,
+            "fps": n / max(wall, 1e-9),
+            "mean_danger_points": float(np.mean(danger_counts)) if danger_counts else 0.0,
+        }
+
     def _handle_key(self, key: int) -> bool:
         """Reference keyboard map (pathfinder_viewer.py:314-337)."""
         import cv2 as _cv2
@@ -223,7 +334,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--fast",
         action="store_true",
-        help="Pallas VMEM LK kernel (TPU fast path; ~1e-3 px vs exact)",
+        help="static-grid Pallas LK kernel (TPU fast path; ~1e-3 px vs exact)",
+    )
+    p.add_argument(
+        "--chunk",
+        type=int,
+        default=None,
+        help="headless chunked pipeline: frame-pairs per device dispatch "
+        "(one lax.scan per chunk; decode/compute/fetch overlap)",
     )
     args = p.parse_args(argv)
     cfg = PathfinderConfig(
@@ -231,12 +349,19 @@ def main(argv: list[str] | None = None) -> None:
         start_frame=args.start_frame,
         max_frames=args.max_frames,
         step=args.step,
-        lk=LKParams(use_pallas=True, slab_margin=16) if args.fast else LKParams(),
+        lk=LKParams(grid_step=args.step, use_pallas=True, compute_err=False)
+        if args.fast
+        else LKParams(),
     )
     app = PathfinderApp(cfg)
-    stats = app.run(
-        headless=not args.interactive, out_path=args.out, render=not args.no_render
-    )
+    if args.chunk and not args.interactive:
+        stats = app.run_batched(
+            chunk=args.chunk, out_path=args.out, render=not args.no_render
+        )
+    else:
+        stats = app.run(
+            headless=not args.interactive, out_path=args.out, render=not args.no_render
+        )
     print(stats)
 
 

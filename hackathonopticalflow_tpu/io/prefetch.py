@@ -45,6 +45,7 @@ class FramePrefetcher:
         depth: int = 4,
         to_device: bool = True,
         dtype=jnp.float32,
+        keep_bgr: bool = False,
     ):
         self.reader = VideoReader(path)
         if start_frame:
@@ -53,6 +54,7 @@ class FramePrefetcher:
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.to_device = to_device
         self.dtype = dtype
+        self.keep_bgr = keep_bgr  # yield (bgr, gray) pairs for rendering
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -62,19 +64,22 @@ class FramePrefetcher:
             frame = self.reader.read()
             if frame is None:
                 break
-            self.q.put(_to_gray(frame))
+            g = _to_gray(frame)
+            self.q.put((frame, g) if self.keep_bgr else g)
             n += 1
         self.q.put(None)
 
     def __iter__(self):
         while True:
-            g = self.q.get()
-            if g is None:
+            item = self.q.get()
+            if item is None:
                 return
-            if self.to_device:
-                yield jnp.asarray(g, self.dtype)
+            if self.keep_bgr:
+                yield item
+            elif self.to_device:
+                yield jnp.asarray(item, self.dtype)
             else:
-                yield g
+                yield item
 
 
 def batch_frames(
