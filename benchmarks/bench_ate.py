@@ -157,7 +157,9 @@ def run_ours(frames: np.ndarray):
         valid = state.alive & (state.length >= 2)
         p0 = cam.normalize(prev_heads)
         p1 = cam.normalize(heads)
-        rp = estimate_relative_pose(p0, p1, valid)
+        rp = estimate_relative_pose(
+            p0, p1, valid, inlier_thresh=cam.sq_norm_thresh(1.0)
+        )
         return rp.R, rp.t, jnp.sum(valid)
 
     state = init_tracker(params)
@@ -222,7 +224,10 @@ def pose_step_diagnostics(frames: np.ndarray, K: np.ndarray):
         if valid.sum() < 8:
             continue
         rp = estimate_relative_pose(
-            cam.normalize(prev_heads), cam.normalize(heads), jnp.asarray(valid)
+            cam.normalize(prev_heads),
+            cam.normalize(heads),
+            jnp.asarray(valid),
+            inlier_thresh=cam.sq_norm_thresh(1.0),
         )
         # oracle pose from the same correspondences
         p0 = np.asarray(prev_heads)[valid]
@@ -257,8 +262,11 @@ def pose_step_diagnostics(frames: np.ndarray, K: np.ndarray):
 
 
 def run_ba(frames: np.ndarray):
-    """Keyframed ego-motion with windowed BA (nav/odometry.py): returns
-    (kf_idx, BA-refined centers, raw window-chain centers)."""
+    """Keyframed ego-motion with windowed BA (nav/odometry.py), both
+    window-init variants from ONE tracking pass: scale-vote init and
+    unit-step init. Returns (kf_idx, {variant: (ba_centers, raw_centers)})."""
+    import dataclasses
+
     from hackathonopticalflow_tpu.core.config import (
         FeatureParams,
         LKParams,
@@ -267,6 +275,7 @@ def run_ba(frames: np.ndarray):
     from hackathonopticalflow_tpu.nav.camera import Pinhole
     from hackathonopticalflow_tpu.nav.odometry import (
         OdometryConfig,
+        collect_tracks,
         ego_motion_track,
     )
 
@@ -276,8 +285,17 @@ def run_ba(frames: np.ndarray):
         features=FeatureParams(max_corners=60, quality_level=0.1, max_candidates=512),
     )
     cam = Pinhole.from_fov(W, H, FOV_DEG)
-    res = ego_motion_track(frames, params, cam, OdometryConfig())
-    return res.kf_idx, res.centers, res.raw_centers
+    table = collect_tracks(frames, params)
+    out = {}
+    kf_idx = None
+    for name, votes in (("votes", True), ("unit", False)):
+        res = ego_motion_track(
+            frames, params, cam,
+            OdometryConfig(scale_votes=votes), table=table,
+        )
+        kf_idx = res.kf_idx
+        out[name] = (res.centers, res.raw_centers)
+    return kf_idx, out
 
 
 def main():
@@ -302,23 +320,30 @@ def main():
             np.linalg.norm(oracle - oracle.mean(0), axis=-1).max() + 1e-9
         )
         # keyframed windowed-BA track vs the oracle sampled at keyframes
+        ba_rel = raw_kf_rel = ba_unit_rel = raw_unit_rel = None
         try:
-            kf_idx, ba_centers, raw_kf_centers = run_ba(frames)
+            kf_idx, variants = run_ba(frames)
             oracle_kf = oracle[kf_idx]
-            ate_ba = ate_umeyama(ba_centers, oracle_kf)
-            ate_raw_kf = ate_umeyama(raw_kf_centers, oracle_kf)
             span_kf = float(
                 np.linalg.norm(oracle_kf - oracle_kf.mean(0), axis=-1).max() + 1e-9
             )
-            ba_rel = round(ate_ba["rmse"] / span_kf, 4)
-            raw_kf_rel = round(ate_raw_kf["rmse"] / span_kf, 4)
-            log(
-                f"{name}: keyframe chain ATE raw {ate_raw_kf['rmse']:.4f} "
-                f"-> BA {ate_ba['rmse']:.4f} (rel span {raw_kf_rel} -> {ba_rel})"
-            )
+            rels = {}
+            for vname, (ba_c, raw_c) in variants.items():
+                ate_ba = ate_umeyama(ba_c, oracle_kf)
+                ate_raw_kf = ate_umeyama(raw_c, oracle_kf)
+                rels[vname] = (
+                    round(ate_raw_kf["rmse"] / span_kf, 4),
+                    round(ate_ba["rmse"] / span_kf, 4),
+                )
+                log(
+                    f"{name}: keyframe chain [{vname}] ATE raw "
+                    f"{ate_raw_kf['rmse']:.4f} -> BA {ate_ba['rmse']:.4f} "
+                    f"(rel span {rels[vname][0]} -> {rels[vname][1]})"
+                )
+            raw_kf_rel, ba_rel = rels["votes"]
+            raw_unit_rel, ba_unit_rel = rels["unit"]
         except Exception as e:
             log(f"{name}: BA track failed: {type(e).__name__}: {e}")
-            ba_rel = raw_kf_rel = None
         diag = pose_step_diagnostics(frames, K)
         log(f"{name}: per-step diag {diag}")
         print(
@@ -332,6 +357,8 @@ def main():
                     "rel_span": round(ate["rmse"] / span, 4),
                     "ba_rel_span": ba_rel,
                     "raw_kf_rel_span": raw_kf_rel,
+                    "ba_unit_rel_span": ba_unit_rel,
+                    "raw_unit_rel_span": raw_unit_rel,
                     "step_rot_deg_med": round(diag["rot_deg_med"], 3),
                     "step_tdir_deg_med": round(diag["tdir_deg_med"], 3),
                 }

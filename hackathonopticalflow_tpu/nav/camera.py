@@ -33,6 +33,13 @@ class Pinhole:
         y = (pts[..., 1] - self.cy) / self.fy
         return jnp.stack([x, y], axis=-1)
 
+    def sq_norm_thresh(self, px: float = 1.0) -> float:
+        """Squared normalized-coordinate threshold equivalent to a pixel
+        tolerance (what cv2.findEssentialMat's `threshold` is in pixels) —
+        pass to estimate_relative_pose.inlier_thresh so RANSAC gating
+        matches the camera's focal length instead of assuming f~500."""
+        return float((px / self.fx) ** 2)
+
     def project(self, xyz: jnp.ndarray) -> jnp.ndarray:
         """Camera-frame 3D (…, 3) -> pixel (…, 2)."""
         z = xyz[..., 2]

@@ -50,6 +50,17 @@ class OdometryConfig:
     ba_lambda: float = 1e-4
     min_track_obs: int = 2  # min keyframe observations to keep a track
     min_depth: float = 1e-3  # cheirality floor for triangulated depths
+    #: RANSAC inlier gate in SQUARED NORMALIZED coords. None -> computed
+    #: by ego_motion_track as cam.sq_norm_thresh(1.0) (1 px at the clip's
+    #: focal length — cv2.findEssentialMat's default threshold unit).
+    inlier_thresh: float | None = None
+    #: pre-BA reprojection gate in normalized coords. None -> 3 px at the
+    #: camera's focal length.
+    max_reproj: float | None = None
+    #: window-init translation scales: closed-form landmark votes
+    #: (True) or the unit-step gauge (False — matches the per-pair chain
+    #: convention; BA then owns relative scale refinement).
+    scale_votes: bool = True
 
 
 class TrackTable(NamedTuple):
@@ -136,10 +147,10 @@ def _reproj_mask(
     obs: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: OdometryConfig,
-    max_err: float = 5e-2,
 ) -> jnp.ndarray:
     """Drop observations behind a camera or with gross reprojection error
     (normalized coords) before BA."""
+    max_err = cfg.max_reproj if cfg.max_reproj is not None else 5e-2
     Rs = jax.vmap(rodrigues)(rvecs)
     pc = jnp.einsum("mij,lj->mli", Rs, points) + tvecs[:, None, :]
     z = pc[..., 2]
@@ -181,17 +192,21 @@ def init_window_poses(
     m = obs.shape[0]
     rvecs = [np.zeros(3, np.float32)]
     tvecs = [np.zeros(3, np.float32)]
+    thresh = cfg.inlier_thresh if cfg.inlier_thresh is not None else 1e-5
     for k in range(1, m):
         pair_ok = mask[k - 1] & mask[k]
         rp = estimate_relative_pose(
-            jnp.asarray(obs[k - 1]), jnp.asarray(obs[k]), jnp.asarray(pair_ok)
+            jnp.asarray(obs[k - 1]),
+            jnp.asarray(obs[k]),
+            jnp.asarray(pair_ok),
+            inlier_thresh=thresh,
         )
         R_rel = np.asarray(rp.R)
         t_rel = np.asarray(rp.t)
         R_prev = np.asarray(rodrigues(jnp.asarray(rvecs[-1])))
         R_k = R_rel @ R_prev
         t_base = R_rel @ tvecs[-1]
-        if k == 1:
+        if k == 1 or not cfg.scale_votes:
             s = 1.0
         else:
             rv = jnp.asarray(np.stack(rvecs))
@@ -265,13 +280,17 @@ def _compose_chain(
     # window -> global similarity from the anchor keyframe (start)
     R_anchor_g = chain_R[start]
     C_anchor_g = chain_C[start]
-    # scale: match the chain's last recorded step if it exists
-    if start + 1 < len(chain_C):
-        g_step = np.linalg.norm(chain_C[start + 1] - chain_C[start])
-        w_step = np.linalg.norm(Cs[1] - Cs[0])
-        s = g_step / max(w_step, 1e-12)
-    else:
-        s = 1.0
+    # scale: median ratio over ALL steps already on the chain (the
+    # overlap region) — one shared step is a single noisy vote
+    ratios = []
+    for k in range(1, len(Cs)):
+        if start + k >= len(chain_C):
+            break
+        g_step = np.linalg.norm(chain_C[start + k] - chain_C[start + k - 1])
+        w_step = np.linalg.norm(Cs[k] - Cs[k - 1])
+        if w_step > 1e-9 and g_step > 1e-9:
+            ratios.append(g_step / w_step)
+    s = float(np.median(ratios)) if ratios else 1.0
     # world(window) -> world(global): x_g = R_g x_w + c where R_g maps
     # window-anchor orientation onto the chain's
     # world(global)->world(window) rotation R_gw = R_w0^T R_anchor_g from
@@ -302,11 +321,25 @@ def ego_motion_track(
     tracker_params: TrackerParams,
     cam,
     cfg: OdometryConfig = OdometryConfig(),
+    table: TrackTable | None = None,
 ) -> EgoMotionResult:
     """Full integrated ego-motion estimation over a clip (H, W) frames.
 
-    cam: nav.camera.Pinhole (normalizes pixel observations)."""
-    table = collect_tracks(frames, tracker_params)
+    cam: nav.camera.Pinhole (normalizes pixel observations). Pass a
+    precomputed `table` (collect_tracks) to rerun the geometry under a
+    different OdometryConfig without re-tracking."""
+    if cfg.inlier_thresh is None or cfg.max_reproj is None:
+        cfg = dataclasses.replace(
+            cfg,
+            inlier_thresh=cfg.inlier_thresh
+            if cfg.inlier_thresh is not None
+            else cam.sq_norm_thresh(1.0),
+            max_reproj=cfg.max_reproj
+            if cfg.max_reproj is not None
+            else 3.0 / cam.fx,
+        )
+    if table is None:
+        table = collect_tracks(frames, tracker_params)
     f = len(frames)
     kf_idx = np.arange(0, f, cfg.kf_stride)
     if len(kf_idx) < 2:

@@ -119,8 +119,15 @@ def estimate_relative_pose(
     wv = valid.astype(jnp.float32)
 
     key = jax.random.PRNGKey(seed)
-    # oversample indices; weight-0 for invalid points handled by wv gather
-    idx = jax.random.randint(key, (ransac_rounds, sample_size), 0, n)
+    # sample only VALID slots (the track table is a fixed-capacity pool —
+    # uniform indices would fill most 8-point samples with dead slots and
+    # fit degenerate models); categorical over the validity mask keeps
+    # static shapes. Duplicates within a sample are possible but rare for
+    # live counts >> 8, and merely reduce that round's effective rank.
+    logits = jnp.where(valid, 0.0, -1e9)  # finite: all-invalid stays NaN-free
+    idx = jax.random.categorical(
+        key, logits, shape=(ransac_rounds, sample_size)
+    )
 
     def fit_round(ids):
         w = jnp.zeros((n,), jnp.float32).at[ids].set(1.0) * wv

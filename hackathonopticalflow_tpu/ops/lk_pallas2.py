@@ -68,6 +68,7 @@ def lk_iterate_grid(
     min_eig_threshold: float = 1e-4,
     early_exit: bool = True,
     block_n: int = 48,
+    incremental: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Template/slab inputs arrive in the extraction-native blocked layout
     (ops/grid_patch.py *_blocked): tmpl (3, N, win_h, 128) int16 on
@@ -92,7 +93,7 @@ def lk_iterate_grid(
 
     flt_eps = 1.1920929e-07
 
-    def kernel(tmpl_r, slab_r, bx_r, by_r, tx_r, ty_r, st_r, out_r):
+    def kernel(tmpl_r, slab_r, bx_r, by_r, tx_r, ty_r, st_r, out_r, crop_ref):
         def row(ref):
             return ref[0]  # (b, 1)
 
@@ -143,13 +144,71 @@ def lk_iterate_grid(
         oxm = rx0.reshape(b, 1, 1)
         for t in a_bits_x:
             x = jnp.where((oxm & t) != 0, pltpu.roll(x, rx - t, 2), x)
-        crop = x  # (b, crop_y, rx) bf16; window cols live in [0, crop_x)
+        crop = x  # (b, crop_y, rx) f32; window cols live in [0, crop_x)
         crop_bx = base_x + rx0  # (b, 1) unpadded coords of crop origin
         crop_by = base_y + ry0
 
+        if incremental:
+            # center the INIT window at row/lane 0 (one static roll each
+            # way); the cyclic crop topology keeps the +-m_iter margins
+            # adjacent across the wrap, so phase B only ever rolls by the
+            # per-iteration offset DELTA (|delta| <= 1 for subpixel GN
+            # steps) instead of re-running the full offset ladder. The
+            # crop lives in a VMEM scratch ref — carrying it through the
+            # while_loop would copy ~1.7 MB per iteration.
+            crop = pltpu.roll(crop, crop_y - m_iter, 1)
+            crop = pltpu.roll(crop, rx - m_iter, 2)
+            crop_ref[...] = crop
+
+        def _sample(crop, oy_off, ox_off, ax, ay):
+            """Bilinear window at crop offset (oy_off, ox_off) via the
+            full masked-ladder rolls (the non-incremental path)."""
+            w = crop
+            for t in i_bits:
+                w = jnp.where((oy_off & t) != 0, pltpu.roll(w, crop_y - t, 1), w)
+            w = w[:, : win_h + 1, :]
+            for t in i_bits:
+                w = jnp.where((ox_off & t) != 0, pltpu.roll(w, rx - t, 2), w)
+            sub = w[:, :, : win_w + 1]
+            return _blend(sub, ax, ay)
+
+        def _blend(sub, ax, ay):
+            return _fix(
+                sub[:, :win_h, :win_w] * (1 - ax) * (1 - ay)
+                + sub[:, :win_h, 1:win_w + 1] * ax * (1 - ay)
+                + sub[:, 1:win_h + 1, :win_w] * (1 - ax) * ay
+                + sub[:, 1:win_h + 1, 1:win_w + 1] * ax * ay
+            )
+
+        def _delta_shift(delta, axis):
+            """Cyclically roll each point's scratch crop in place by its
+            own DELTA along `axis`. Two block-scalar paths: |delta| <= 1
+            (the typical GN iteration — at most 2 masked rolls) or the
+            full +-bit ladder for the rare large floor jump."""
+            size = crop_ref.shape[axis]
+            d3 = delta.reshape(b, 1, 1)
+            absmax = jnp.max(jnp.abs(delta).astype(jnp.float32))
+
+            @pl.when((absmax > 0.0) & (absmax <= 1.0))
+            def _():
+                c = crop_ref[...]
+                c = jnp.where(d3 == 1, pltpu.roll(c, size - 1, axis), c)
+                c = jnp.where(d3 == -1, pltpu.roll(c, 1, axis), c)
+                crop_ref[...] = c
+
+            @pl.when(absmax > 1.0)
+            def _():
+                c = crop_ref[...]
+                pos = jnp.maximum(d3, 0)
+                neg = jnp.maximum(-d3, 0)
+                for t in i_bits:
+                    c = jnp.where((pos & t) != 0, pltpu.roll(c, size - t, axis), c)
+                    c = jnp.where((neg & t) != 0, pltpu.roll(c, t, axis), c)
+                crop_ref[...] = c
+
         # ---- phase B: Gauss-Newton iterations on the small crop ----
         def body(j, carry):
-            tlx, tly, pdx, pdy, active_f, status_f = carry  # (b, 1) each
+            tlx, tly, pdx, pdy, active_f, status_f, cur_oy, cur_ox = carry
             active = active_f > 0.5
             status = status_f > 0.5
             ix = jnp.floor(tlx)
@@ -163,22 +222,13 @@ def lk_iterate_grid(
             ay = (tly - iy).reshape(b, 1, 1)
             oy = jnp.clip(iy.astype(jnp.int32) - crop_by, 0, 2 * m_iter)
             ox = jnp.clip(ix.astype(jnp.int32) - crop_bx, 0, 2 * m_iter)
-            oym_ = oy.reshape(b, 1, 1)
-            oxm_ = ox.reshape(b, 1, 1)
 
-            w = crop
-            for t in i_bits:
-                w = jnp.where((oym_ & t) != 0, pltpu.roll(w, crop_y - t, 1), w)
-            w = w[:, : win_h + 1, :]
-            for t in i_bits:
-                w = jnp.where((oxm_ & t) != 0, pltpu.roll(w, rx - t, 2), w)
-            sub = w[:, :, : win_w + 1]
-            jw = _fix(
-                sub[:, :win_h, :win_w] * (1 - ax) * (1 - ay)
-                + sub[:, :win_h, 1:] * ax * (1 - ay)
-                + sub[:, 1:, :win_w] * (1 - ax) * ay
-                + sub[:, 1:, 1:] * ax * ay
-            )
+            if incremental:
+                _delta_shift(oy - cur_oy, 1)
+                _delta_shift(ox - cur_ox, 2)
+                jw = _blend(crop_ref[:, : win_h + 1, : win_w + 1], ax, ay)
+            else:
+                jw = _sample(crop, oy.reshape(b, 1, 1), ox.reshape(b, 1, 1), ax, ay)
             diff = jw - iw_v
             b1 = jnp.sum(jnp.sum(diff * ixw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
             b2 = jnp.sum(jnp.sum(diff * iyw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
@@ -196,7 +246,11 @@ def lk_iterate_grid(
             tlx = jnp.where(active & osc, tlx - dx * 0.5, tlx)
             tly = jnp.where(active & osc, tly - dy * 0.5, tly)
             active = active & ~(converged | osc)
-            return tlx, tly, dx, dy, active.astype(jnp.float32), status.astype(jnp.float32)
+            return (
+                tlx, tly, dx, dy,
+                active.astype(jnp.float32), status.astype(jnp.float32),
+                oy, ox,
+            )
 
         zero = jnp.zeros((b, 1), jnp.float32)
         status_in = row(st_r)
@@ -205,6 +259,7 @@ def lk_iterate_grid(
         active_in = jnp.minimum(
             fits, 1.0 - bad_tmpl.astype(jnp.float32)
         )
+        m0 = jnp.full((b, 1), m_iter, jnp.int32)  # init window offset
         init = (
             tlx0,
             tly0,
@@ -212,6 +267,8 @@ def lk_iterate_grid(
             zero,
             active_in,
             status_in,
+            m0,
+            m0,
         )
         if early_exit:
 
@@ -245,6 +302,7 @@ def lk_iterate_grid(
         in_specs=[tmpl_spec, slab_spec] + [rspec()] * 5,
         out_specs=pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, b, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, crop_y, rx), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(
         tmpl,

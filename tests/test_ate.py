@@ -108,3 +108,95 @@ def test_tracker_heads_match_cv2_oracle():
     # matched heads: sub-0.1 px agreement on average (ATE proxy)
     matched = d.min(axis=1)[d.min(axis=1) < 1.5]
     assert matched.mean() < 0.25
+
+
+@requires_cv2
+def test_pose_chain_ate_bound_real_clip():
+    """Trajectory-LEVEL regression bound (VERDICT r1 item 8): our tracker
+    + essential-pose chain over a real-clip window must stay within 30%
+    of the oracle trajectory's span (Umeyama-aligned RMSE). The round-1
+    RANSAC defects (dead-slot sampling, focal-blind inlier gate) put this
+    at 37-57% — this test pins the fix."""
+    import os
+
+    if not os.path.exists(CLIP_CORRIDOR):
+        pytest.skip("corpus missing")
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
+    from hackathonopticalflow_tpu.nav.pose import estimate_relative_pose
+
+    w, h, n = 480, 270, 40
+    cap = cv2.VideoCapture(CLIP_CORRIDOR)
+    cap.set(cv2.CAP_PROP_POS_FRAMES, 10)
+    frames = []
+    for _ in range(n):
+        ok, f = cap.read()
+        assert ok
+        g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+        frames.append(cv2.resize(g, (w, h), interpolation=cv2.INTER_AREA))
+    cap.release()
+    frames = np.stack(frames)
+
+    cam = Pinhole.from_fov(w, h, 155.0)
+    f_px = cam.fx
+    K = np.array([[f_px, 0, w / 2.0], [0, f_px, h / 2.0], [0, 0, 1.0]])
+
+    def chain(poses):
+        Rwc, C = np.eye(3), np.zeros(3)
+        out = [C.copy()]
+        for R, t in poses:
+            C = C + Rwc @ (-R.T @ t)
+            Rwc = Rwc @ R.T
+            out.append(C.copy())
+        return np.stack(out)
+
+    params = TrackerParams(
+        lk=LKParams(win_size=(15, 15)),
+        max_tracks=128,
+        features=FeatureParams(max_corners=60, quality_level=0.1, max_candidates=512),
+    )
+    step = jax.jit(lambda s, a, b: track_step(s, a, b, params))
+    state = init_tracker(params)
+    f0 = jnp.asarray(frames[0], jnp.float32)
+    state = step(state, f0, f0)
+
+    lkd = dict(
+        winSize=(15, 15), maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+    )
+    ours_poses, oracle_poses = [], []
+    for idx in range(1, n):
+        prev_heads = _heads(state)
+        prev_alive = np.asarray(state.alive)
+        state = step(
+            state,
+            jnp.asarray(frames[idx - 1], jnp.float32),
+            jnp.asarray(frames[idx], jnp.float32),
+        )
+        heads = _heads(state)
+        valid = np.asarray(state.alive) & prev_alive
+        if valid.sum() < 8:
+            ours_poses.append((np.eye(3), np.zeros(3)))
+            oracle_poses.append((np.eye(3), np.zeros(3)))
+            continue
+        rp = estimate_relative_pose(
+            cam.normalize(prev_heads), cam.normalize(heads),
+            jnp.asarray(valid), inlier_thresh=cam.sq_norm_thresh(1.0),
+        )
+        ours_poses.append((np.asarray(rp.R), np.asarray(rp.t).reshape(3)))
+        p0 = np.ascontiguousarray(np.asarray(prev_heads)[valid])
+        p1 = np.ascontiguousarray(np.asarray(heads)[valid])
+        E, inl = cv2.findEssentialMat(
+            p0, p1, K, method=cv2.RANSAC, prob=0.999, threshold=1.0
+        )
+        if E is None or E.shape != (3, 3):
+            oracle_poses.append(ours_poses[-1])
+            continue
+        _n, R_o, t_o, _m = cv2.recoverPose(E, p0, p1, K, mask=inl)
+        oracle_poses.append((R_o, t_o.reshape(3)))
+
+    ours_c = chain(ours_poses)
+    oracle_c = chain(oracle_poses)
+    span = float(np.linalg.norm(oracle_c - oracle_c.mean(0), axis=-1).max())
+    ate = ate_umeyama(ours_c, oracle_c)
+    assert ate["rmse"] / span < 0.30, (ate["rmse"], span)
