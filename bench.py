@@ -135,7 +135,7 @@ def bench_dense(n_pairs: int = 24):
     return fps, cpu_fps
 
 
-def bench_sparse(n_pairs: int = 8):
+def bench_sparse(n_pairs: int = 24):
     """Secondary: the reference's headline sparse pathfinder pipeline at
     1080p (grid LK -> radial normalize -> robust filter) vs cv2 CPU."""
     from hackathonopticalflow_tpu.core.config import LKParams

@@ -22,11 +22,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_FLOOR = [0.0]  # measured dispatch+readback latency, subtracted from runs
+
+
+def measure_floor():
+    @jax.jit
+    def nop(x):
+        return jnp.sum(x[..., :1]) * 1e-30
+
+    x = jnp.zeros((8, 8), jnp.float32)
+    _ = float(nop(x))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(nop(x))
+        best = min(best, time.perf_counter() - t0)
+    _FLOOR[0] = best
+    log(f"dispatch+readback floor: {best * 1e3:.1f} ms")
+
+
 def timeit(name, fn, *args, reps=8):
     @jax.jit
     def run(*a):
         def body(acc, _):
-            out = fn(a[0] + acc * 1e-30, *a[1:])
+            # serialize iterations without promoting a[0]'s dtype (i16
+            # templates must stay i16 or the kernel compiles differently)
+            bump = (acc * 0).astype(a[0].dtype)
+            out = fn(a[0] + bump, *a[1:])
             leaf = jax.tree.leaves(out)[0]
             return jnp.sum(leaf.ravel()[:1]).astype(jnp.float32) * 1e-30, None
 
@@ -42,7 +64,7 @@ def timeit(name, fn, *args, reps=8):
             t0 = time.perf_counter()
             _ = float(run(*args))
             best = min(best, time.perf_counter() - t0)
-        ms = best / reps * 1e3
+        ms = max(best - _FLOOR[0], 0.0) / reps * 1e3
         log(f"{name:48s} {ms:8.2f} ms/call   (compile {compile_s:.1f}s)")
         return ms
     except Exception as e:
@@ -80,6 +102,7 @@ def main():
     margin_x = (128 - win_w - 1) // 2
     margin_y = params.slab_margin_y
     log(f"device {jax.devices()[0]}; {n} points at {h}x{w}; pad {pad}")
+    measure_floor()
 
     timeit(
         "full pyr_lk (static-grid v2)",

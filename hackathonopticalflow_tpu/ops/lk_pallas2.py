@@ -100,6 +100,14 @@ def lk_iterate_grid(
         # helper hangs/aborts) — incremental therefore defaults OFF and
         # is covered by interpret-mode tests only until the toolchain
         # moves; the masked-ladder path below is the production kernel.
+        # Measured alternative (2026-08-20, do not re-litigate): carrying
+        # the aligned crop through the while_loop (pure-carry, delta
+        # shifts under scalar lax.cond — which DOES compile here) ran
+        # 20.5 ms vs 13.0 ms for this absolute-ladder path at 1080p:
+        # Mosaic copies the ~1 MB carry every iteration, swamping the
+        # saved rolls. Big loop state must live in scratch refs, and
+        # scratch writes in loop bodies crash this toolchain — so the
+        # stateless ladder stands until the toolchain moves.
         crop_ref = scratch[0] if scratch else None
         def row(ref):
             return ref[0]  # (b, 1)
