@@ -29,6 +29,17 @@ their coarse init, or whose total flow exceeds the slab margins
 (41 px * 2^level horizontally, 40 px * 2^level vertically), clamp at the
 slab edge — wider budgets than v1's +-16 px slabs. Interpreter mode off
 TPU so tests cover it everywhere.
+
+Measured dead end (2026-08-20, do not re-litigate): an "incremental"
+phase B that kept the aligned crop resident and rolled it by the
+per-iteration offset DELTA (|delta| <= 1 for subpixel GN steps) instead
+of re-running the absolute ladder. Two implementations both lost:
+(a) pure-carry through the while_loop — Mosaic copies the ~1 MB carry
+every iteration, 20.5 ms vs 13.0 ms for the absolute ladder at 1080p;
+(b) VMEM scratch-resident crop — scratch writes under pl.when inside
+loop bodies SIGABRT/hang this toolchain's remote-compile helper
+(CLAUDE.md "Pallas/Mosaic gotcha"). Big loop state must stay out of the
+carry, and the stateless absolute ladder stands.
 """
 
 from __future__ import annotations
@@ -68,7 +79,6 @@ def lk_iterate_grid(
     min_eig_threshold: float = 1e-4,
     early_exit: bool = True,
     block_n: int = 48,
-    incremental: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Template/slab inputs arrive in the extraction-native blocked layout
     (ops/grid_patch.py *_blocked): tmpl (3, N, win_h, 128) int16 on
@@ -93,22 +103,7 @@ def lk_iterate_grid(
 
     flt_eps = 1.1920929e-07
 
-    def kernel(tmpl_r, slab_r, bx_r, by_r, tx_r, ty_r, st_r, out_r, *scratch):
-        # incremental mode keeps the aligned crop in a VMEM scratch ref.
-        # NOTE: scratch writes under pl.when inside the while_loop do not
-        # compile on the current Mosaic toolchain here (remote-compile
-        # helper hangs/aborts) — incremental therefore defaults OFF and
-        # is covered by interpret-mode tests only until the toolchain
-        # moves; the masked-ladder path below is the production kernel.
-        # Measured alternative (2026-08-20, do not re-litigate): carrying
-        # the aligned crop through the while_loop (pure-carry, delta
-        # shifts under scalar lax.cond — which DOES compile here) ran
-        # 20.5 ms vs 13.0 ms for this absolute-ladder path at 1080p:
-        # Mosaic copies the ~1 MB carry every iteration, swamping the
-        # saved rolls. Big loop state must live in scratch refs, and
-        # scratch writes in loop bodies crash this toolchain — so the
-        # stateless ladder stands until the toolchain moves.
-        crop_ref = scratch[0] if scratch else None
+    def kernel(tmpl_r, slab_r, bx_r, by_r, tx_r, ty_r, st_r, out_r):
         def row(ref):
             return ref[0]  # (b, 1)
 
@@ -163,18 +158,6 @@ def lk_iterate_grid(
         crop_bx = base_x + rx0  # (b, 1) unpadded coords of crop origin
         crop_by = base_y + ry0
 
-        if incremental:
-            # center the INIT window at row/lane 0 (one static roll each
-            # way); the cyclic crop topology keeps the +-m_iter margins
-            # adjacent across the wrap, so phase B only ever rolls by the
-            # per-iteration offset DELTA (|delta| <= 1 for subpixel GN
-            # steps) instead of re-running the full offset ladder. The
-            # crop lives in a VMEM scratch ref — carrying it through the
-            # while_loop would copy ~1.7 MB per iteration.
-            crop = pltpu.roll(crop, crop_y - m_iter, 1)
-            crop = pltpu.roll(crop, rx - m_iter, 2)
-            crop_ref[...] = crop
-
         def _sample(crop, oy_off, ox_off, ax, ay):
             """Bilinear window at crop offset (oy_off, ox_off) via the
             full masked-ladder rolls (the non-incremental path)."""
@@ -195,35 +178,9 @@ def lk_iterate_grid(
                 + sub[:, 1:win_h + 1, 1:win_w + 1] * ax * ay
             )
 
-        def _delta_shift(delta, axis):
-            """Cyclically roll each point's scratch crop in place by its
-            own DELTA along `axis`. Two block-scalar paths: |delta| <= 1
-            (the typical GN iteration — at most 2 masked rolls) or the
-            full +-bit ladder for the rare large floor jump."""
-            size = crop_ref.shape[axis]
-            d3 = delta.reshape(b, 1, 1)
-            absmax = jnp.max(jnp.abs(delta).astype(jnp.float32))
-
-            @pl.when((absmax > 0.0) & (absmax <= 1.0))
-            def _():
-                c = crop_ref[...]
-                c = jnp.where(d3 == 1, pltpu.roll(c, size - 1, axis), c)
-                c = jnp.where(d3 == -1, pltpu.roll(c, 1, axis), c)
-                crop_ref[...] = c
-
-            @pl.when(absmax > 1.0)
-            def _():
-                c = crop_ref[...]
-                pos = jnp.maximum(d3, 0)
-                neg = jnp.maximum(-d3, 0)
-                for t in i_bits:
-                    c = jnp.where((pos & t) != 0, pltpu.roll(c, size - t, axis), c)
-                    c = jnp.where((neg & t) != 0, pltpu.roll(c, t, axis), c)
-                crop_ref[...] = c
-
         # ---- phase B: Gauss-Newton iterations on the small crop ----
         def body(j, carry):
-            tlx, tly, pdx, pdy, active_f, status_f, cur_oy, cur_ox = carry
+            tlx, tly, pdx, pdy, active_f, status_f = carry
             active = active_f > 0.5
             status = status_f > 0.5
             ix = jnp.floor(tlx)
@@ -238,12 +195,7 @@ def lk_iterate_grid(
             oy = jnp.clip(iy.astype(jnp.int32) - crop_by, 0, 2 * m_iter)
             ox = jnp.clip(ix.astype(jnp.int32) - crop_bx, 0, 2 * m_iter)
 
-            if incremental:
-                _delta_shift(oy - cur_oy, 1)
-                _delta_shift(ox - cur_ox, 2)
-                jw = _blend(crop_ref[:, : win_h + 1, : win_w + 1], ax, ay)
-            else:
-                jw = _sample(crop, oy.reshape(b, 1, 1), ox.reshape(b, 1, 1), ax, ay)
+            jw = _sample(crop, oy.reshape(b, 1, 1), ox.reshape(b, 1, 1), ax, ay)
             diff = jw - iw_v
             b1 = jnp.sum(jnp.sum(diff * ixw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
             b2 = jnp.sum(jnp.sum(diff * iyw_v, axis=2), axis=1, keepdims=True) * _CV_SCALE
@@ -264,7 +216,6 @@ def lk_iterate_grid(
             return (
                 tlx, tly, dx, dy,
                 active.astype(jnp.float32), status.astype(jnp.float32),
-                oy, ox,
             )
 
         zero = jnp.zeros((b, 1), jnp.float32)
@@ -274,7 +225,6 @@ def lk_iterate_grid(
         active_in = jnp.minimum(
             fits, 1.0 - bad_tmpl.astype(jnp.float32)
         )
-        m0 = jnp.full((b, 1), m_iter, jnp.int32)  # init window offset
         init = (
             tlx0,
             tly0,
@@ -282,8 +232,6 @@ def lk_iterate_grid(
             zero,
             active_in,
             status_in,
-            m0,
-            m0,
         )
         if early_exit:
 
@@ -317,9 +265,6 @@ def lk_iterate_grid(
         in_specs=[tmpl_spec, slab_spec] + [rspec()] * 5,
         out_specs=pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, b, 8), jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((b, crop_y, rx), jnp.float32)] if incremental else []
-        ),
         interpret=jax.default_backend() != "tpu",
     )(
         tmpl,

@@ -85,7 +85,7 @@ def supports(h: int, w: int) -> bool:
     return h >= 2 and w >= 2
 
 
-def _kernel(by8_ref, bx128_ref, rx0_ref, yh_ref, xh_ref, src_ref,
+def _kernel(by8_ref, bx128_ref, rx0_ref, ylo_ref, yh_ref, xh_ref, src_ref,
             ryf_ref, rxf_ref, out_ref, slab2, sem2):
     c = out_ref.shape[0]
     ti = pl.program_id(0)
@@ -121,6 +121,7 @@ def _kernel(by8_ref, bx128_ref, rx0_ref, yh_ref, xh_ref, src_ref,
         ryf = ryf_ref[:, lanes]  # (TH, TW) fractional row candidate offsets
         rxf = rxf_ref[:, lanes]
         rx0 = rx0_ref[ti, tj]  # lane alignment remainder, 0..127
+        ylo = ylo_ref[ti, tj]  # first live row candidate (0..7, alignment)
         yh = yh_ref[ti, tj]  # live candidate counts for this tile
         xh = xh_ref[ti, tj]
         acc = jnp.zeros((c, TH, TW), jnp.float32)
@@ -142,6 +143,21 @@ def _kernel(by8_ref, bx128_ref, rx0_ref, yh_ref, xh_ref, src_ref,
                     )
                 cur0 = a0[:, :, : TW + RXC - 1]  # live lanes only (256)
 
+                # row-candidate liveness, per sublane step s: candidates
+                # below the tile's aligned minimum (ylo, only in q == 0)
+                # or at/above the exclusive max (yh) carry zero tent
+                # weight for EVERY pixel — skip their roll+fma entirely.
+                # tyw depends on (q, s) but not rx: hoist out of rx_body.
+                live = [
+                    ((8 * q + s >= ylo) if q == 0 else True)
+                    & (8 * q + s < yh)
+                    for s in range(8)
+                ]
+                tyws = [
+                    jnp.maximum(1.0 - jnp.abs(ryf - float(8 * q + s)), 0.0)
+                    for s in range(8)
+                ]
+
                 def rx_body(rx, carry):
                     a, cur = carry
                     txw = jnp.maximum(
@@ -149,14 +165,15 @@ def _kernel(by8_ref, bx128_ref, rx0_ref, yh_ref, xh_ref, src_ref,
                     )
                     win = cur[:, :, :TW]  # lanes [rx0+rx, rx0+rx+TW)
                     for s in range(8):
-                        tyw = jnp.maximum(
-                            1.0 - jnp.abs(ryf - float(8 * q + s)), 0.0
-                        )
-                        wgt = txw * tyw
-                        # left-roll by s == roll by (size - s); pltpu.roll
-                        # requires non-negative shifts (ops/lk_pallas.py)
-                        rows = pltpu.roll(win, 16 - s, 1) if s else win
-                        a = a + rows[:, :TH, :] * wgt[None]
+
+                        def step(a, s=s):
+                            wgt = txw * tyws[s]
+                            # left-roll by s == roll by (size - s);
+                            # pltpu.roll needs non-negative shifts
+                            rows = pltpu.roll(win, 16 - s, 1) if s else win
+                            return a + rows[:, :TH, :] * wgt[None]
+
+                        a = lax.cond(live[s], step, lambda a: a, a)
                     return a, pltpu.roll(cur, TW + RXC - 2, 2)
 
                 acc, _ = lax.fori_loop(0, xh, rx_body, (acc, cur0))
@@ -231,6 +248,7 @@ def warp_bilinear_pallas(
     by8 = (ymin // 8).astype(jnp.int32)  # aligned DMA base quotients
     bx128 = (xmin // 128).astype(jnp.int32)
     rx0 = (xmin - bx128 * 128).astype(jnp.int32)
+    ylo = (ymin - by8 * 8).astype(jnp.int32)  # first live row cand, 0..7
     # live candidate counts: the max integer residual needs candidates
     # {resid, resid+1} for its bilinear pair, hence +2 (exclusive bound).
     # Rows are measured from the ALIGNED base (the 16-row blocks absorb
@@ -248,7 +266,7 @@ def warp_bilinear_pallas(
     rxf = jnp.clip((dx0 - per_pixel(xmin)).astype(jnp.float32) + ax, 0.0, RXC - 1.0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         # one grid step per tile ROW; the kernel loops the row's column
         # tiles itself so the slab DMA double-buffers across them
         grid=(nty,),
@@ -269,5 +287,5 @@ def warp_bilinear_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         interpret=interpret,
-    )(by8, bx128, rx0, yh, xh, src.astype(slab_dtype), ryf, rxf)
+    )(by8, bx128, rx0, ylo, yh, xh, src.astype(slab_dtype), ryf, rxf)
     return out[:, :h, :w]

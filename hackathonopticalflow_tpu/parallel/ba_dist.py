@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..nav.ba import BAState, BAStats, bundle_adjust
 
@@ -63,7 +63,7 @@ def distributed_bundle_adjust(
         mesh=mesh,
         in_specs=(rep, rep, P(axis_name, None), P(None, axis_name, None), P(None, axis_name)),
         out_specs=(rep, rep, P(axis_name, None), rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     rvecs, tvecs, points, cost, init_cost, n_obs = fn(
         state.rvecs, state.tvecs, state.points, state.obs, state.mask

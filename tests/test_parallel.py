@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from hackathonopticalflow_tpu.core.config import FarnebackParams
 from hackathonopticalflow_tpu.ops.farneback import farneback
