@@ -63,6 +63,22 @@ def main():
     variants["v2b48"] = LKParams(
         grid_step=30, use_pallas=True, compute_err=False, pallas_block=48
     )
+    # round-3 points-in-lanes kernel (ops/lk_pallas3.py)
+    variants["v3"] = LKParams(
+        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes"
+    )
+    variants["v3f32"] = LKParams(
+        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
+        lanes_roll_dtype="float32",
+    )
+    variants["v3m7"] = LKParams(
+        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
+        iter_margin=7,
+    )
+    variants["v3m7t16"] = LKParams(
+        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
+        iter_margin=7, iter_margin_top=16,
+    )
     want = sys.argv[1:] or ["v1", "v2", "v2b64"]
     results = {}
     for name in want:

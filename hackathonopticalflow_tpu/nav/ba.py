@@ -116,9 +116,10 @@ def _residuals_and_jacobians(state: BAState):
     return r, Jc, Jp
 
 
-def _schur_terms(r, Jc, Jp, mask):
-    """Per-landmark contributions to the reduced camera system."""
-    w = mask.astype(r.dtype)[..., None, None]
+def _schur_terms(r, Jc, Jp, weights):
+    """Per-landmark contributions to the reduced camera system.
+    weights: (M, L) float — validity mask times any IRLS robust weight."""
+    w = weights.astype(r.dtype)[..., None, None]
     Jc_w = Jc * w
     Jp_w = Jp * w
     # B: (M,6,6) block-diagonal camera Hessian (sum over landmarks)
@@ -160,9 +161,26 @@ def _solve_reduced(B, C, E, v, wg, lam, fix_first: bool = True, preduce=lambda x
     return dc, dp
 
 
-def _cost(state: BAState, preduce=lambda x: x) -> jnp.ndarray:
+def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weights for the Huber loss on the per-observation residual
+    NORM: w = 1 inside delta, delta/||r|| outside. (M, L)."""
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-24)
+    return jnp.minimum(1.0, delta / rn)
+
+
+def _cost(state: BAState, preduce=lambda x: x, huber_delta=None) -> jnp.ndarray:
     r, _, _ = _residuals_and_jacobians(state)
-    return preduce(jnp.sum(state.mask * jnp.sum(r * r, axis=-1)))
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta is None:
+        return preduce(jnp.sum(state.mask * sq))
+    # Huber rho on the residual norm: r^2 inside, 2*delta*||r|| - delta^2
+    # outside (the factor-2 convention keeps rho == r^2 in the interior
+    # so costs stay comparable with the SSE path)
+    rn = jnp.sqrt(sq + 1e-24)
+    rho = jnp.where(
+        rn <= huber_delta, sq, 2.0 * huber_delta * rn - huber_delta**2
+    )
+    return preduce(jnp.sum(state.mask * rho))
 
 
 def bundle_adjust(
@@ -171,17 +189,26 @@ def bundle_adjust(
     lam: float = 1e-4,
     fix_scale: bool = True,
     preduce=lambda x: x,
+    huber_delta: float | None = None,
 ) -> tuple[BAState, BAStats]:
     """Levenberg-damped Gauss-Newton with Schur reduction; fixed iteration
     count (jit-friendly). Accepts a step only if it lowers the cost
-    (simple trust behavior without dynamic lambda re-solves)."""
-    init_cost = _cost(state, preduce)
+    (simple trust behavior without dynamic lambda re-solves).
+
+    huber_delta: residual-norm scale (normalized camera coords) of a
+    Huber robust loss, applied by IRLS re-weighting of the normal
+    equations; None keeps the plain SSE. A good default is the pixel
+    gate used for RANSAC, e.g. 2 px / fx (nav/odometry.py)."""
+    init_cost = _cost(state, preduce, huber_delta)
     t1_norm = jnp.linalg.norm(state.tvecs[1]) if state.tvecs.shape[0] > 1 else 1.0
 
     def step(carry, _):
         st, lam_c = carry
         r, Jc, Jp = _residuals_and_jacobians(st)
-        B, C, E, v, wg = _schur_terms(r, Jc, Jp, st.mask)
+        wts = st.mask.astype(r.dtype)
+        if huber_delta is not None:
+            wts = wts * _huber_weights(r, huber_delta)
+        B, C, E, v, wg = _schur_terms(r, Jc, Jp, wts)
         dc, dp = _solve_reduced(B, C, E, v, wg, lam_c, preduce=preduce)
         # left perturbation of the full transform pc' = exp(dw) pc + dt
         # (matches the -[pc]_x Jacobian): R <- exp(dw) R, t <- exp(dw) t + dt
@@ -196,8 +223,8 @@ def bundle_adjust(
             new_tvecs = new_tvecs * scale
             new_points = new_points * scale
         cand = st._replace(rvecs=new_rvecs, tvecs=new_tvecs, points=new_points)
-        c_old = _cost(st, preduce)
-        c_new = _cost(cand, preduce)
+        c_old = _cost(st, preduce, huber_delta)
+        c_new = _cost(cand, preduce, huber_delta)
         improved = c_new < c_old
         st = jax.tree.map(
             lambda a, b: jnp.where(improved, a, b),
@@ -209,7 +236,7 @@ def bundle_adjust(
 
     (state, _), _ = jax.lax.scan(step, (state, jnp.float32(lam)), None, length=iters)
     return state, BAStats(
-        cost=_cost(state, preduce),
+        cost=_cost(state, preduce, huber_delta),
         initial_cost=init_cost,
         n_obs=preduce(jnp.sum(state.mask)),
     )

@@ -300,6 +300,66 @@ def extract_grid_slabs_blocked(
     return cols.reshape(kx_ * ky_, ry_, rx_), bx, by
 
 
+def extract_grid_templates_lanes(
+    planes: jnp.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    level: int,
+    win_w: int,
+    win_h: int,
+    pad: int,
+    *,
+    np_pad: int | None = None,
+) -> jnp.ndarray:
+    """Templates in the points-in-lanes layout for ops/lk_pallas3.py:
+    (C, win_h, WWP, NP) int16 (x32 window grid), WWP = win_w rounded up
+    to 8 (padded columns zero so they vanish in the kernel's windowed
+    reductions), NP = N padded to np_pad with zero templates (padded
+    points spectral-gate inactive: det == 0).
+
+    Built from the blocked extraction + one XLA transpose (the blocked
+    form is transpose-free; the (N -> lane-minor) move is one fused
+    relayout of ~N*win_h*WWP i16, ~30 MB at 1080p level 0)."""
+    wwp = -(-win_w // 8) * 8
+    t = extract_grid_templates_blocked(
+        planes, xs, ys, level, win_w, win_h, pad
+    )  # (C, N, win_h, 128) i16, cols >= win_w zero
+    t = t[..., :wwp]
+    out = jnp.transpose(t, (0, 2, 3, 1))  # (C, win_h, WWP, N)
+    n = out.shape[-1]
+    if np_pad is not None and np_pad != n:
+        out = jnp.pad(out, [(0, 0)] * 3 + [(0, np_pad - n)])
+    return out
+
+
+def extract_grid_slabs_lanes(
+    plane: jnp.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    level: int,
+    win_w: int,
+    win_h: int,
+    margin_x: int,
+    margin_y: int,
+    pad: int,
+    *,
+    np_pad: int | None = None,
+):
+    """Search slabs in the points-in-lanes layout (Ry, Rx, NP) int16 for
+    ops/lk_pallas3.py, plus the (Kx,), (Ky,) unpadded integer bases.
+    One XLA transpose over the blocked extraction (~74 MB i16 at 1080p
+    level 0 — ~0.2 ms at HBM stream rate)."""
+    slabs, bx, by = extract_grid_slabs_blocked(
+        plane, xs, ys, level, win_w, win_h, margin_x, margin_y, pad,
+        dtype=jnp.int16,
+    )  # (N, Ry, Rx)
+    out = jnp.transpose(slabs, (1, 2, 0))  # (Ry, Rx, N)
+    n = out.shape[-1]
+    if np_pad is not None and np_pad != n:
+        out = jnp.pad(out, [(0, 0), (0, 0), (0, np_pad - n)])
+    return out, bx, by
+
+
 def extract_grid_templates(
     planes: jnp.ndarray,
     xs: np.ndarray,

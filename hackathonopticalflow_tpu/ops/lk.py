@@ -312,41 +312,89 @@ def _level_lk_static_grid(
     planes = jnp.stack(
         [img_prev_p, prev_prep.dix_p[level], prev_prep.diy_p[level]]
     )
-    # (3, Ky, win_h, Kx*128) i16 — the kernel's native blocked layout;
-    # the structure tensor / spectral gating happen in-kernel
-    tmpl = extract_grid_templates_blocked(
-        planes, xs, ys, level, win_w, win_h, pad
-    )
-
-    slabs, bx, by = extract_grid_slabs_blocked(
-        next_prep.img_p[level], xs, ys, level, win_w, win_h,
-        margin_x, margin_y, pad,
-    )
-    base = jnp.asarray(
-        np.stack(np.meshgrid(bx, by, indexing="ij"), -1).reshape(-1, 2),
-        jnp.int32,
-    )
     next_tl0 = next_center - halfwin
     n = next_tl0.shape[0]
-
     m_iter = (
         params.iter_margin_top if level == params.max_level else params.iter_margin
     )
-    next_tl, status = lk_iterate_grid(
-        tmpl, slabs, base, next_tl0, status,
-        win_w=win_w, win_h=win_h, m_iter=m_iter,
-        level_w=w, level_h=h, max_iters=params.max_iters,
-        eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
-        min_eig_threshold=params.min_eig_threshold,
-        early_exit=params.early_exit, block_n=params.pallas_block,
-    )
-    next_center_out = next_tl + halfwin
-    if level == 0 and params.compute_err:
-        tv0 = tmpl[0].reshape(len(ys), win_h, len(xs), 128)[..., :win_w]
-        iw_pts = (
-            jnp.moveaxis(tv0, 2, 0).reshape(n, win_h, win_w).astype(jnp.float32)
-            / 32.0
+
+    if params.grid_kernel == "lanes":
+        from .grid_patch import (
+            extract_grid_slabs_lanes,
+            extract_grid_templates_lanes,
         )
+        from .lk_pallas3 import lk_iterate_grid_lanes
+
+        # the wide-margin top level halves the lane block so its crop
+        # (win+1+2*iter_margin_top)^2 fits VMEM
+        lb = params.lanes_block if m_iter <= 16 else max(
+            params.lanes_block // 2, 8
+        )
+        np_pad = -(-n // lb) * lb
+        tmpl = extract_grid_templates_lanes(
+            planes, xs, ys, level, win_w, win_h, pad, np_pad=np_pad
+        )
+        slabs, bx, by = extract_grid_slabs_lanes(
+            next_prep.img_p[level], xs, ys, level, win_w, win_h,
+            margin_x, margin_y, pad, np_pad=np_pad,
+        )
+        base = np.zeros((np_pad, 2), np.int32)
+        base[:n] = np.stack(
+            np.meshgrid(bx, by, indexing="ij"), -1
+        ).reshape(-1, 2)
+        pad_cols = np_pad - n
+        next_tl, status_p = lk_iterate_grid_lanes(
+            tmpl, slabs, jnp.asarray(base),
+            jnp.pad(next_tl0, ((0, pad_cols), (0, 0))),
+            jnp.pad(status.astype(jnp.float32), (0, pad_cols)),
+            win_w=win_w, win_h=win_h, m_iter=m_iter,
+            level_w=w, level_h=h, max_iters=params.max_iters,
+            eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
+            min_eig_threshold=params.min_eig_threshold,
+            early_exit=params.early_exit, lane_block=lb,
+            roll_dtype=params.lanes_roll_dtype,
+        )
+        next_tl = next_tl[:n]
+        status = status_p[:n]
+        if level == 0 and params.compute_err:
+            iw_pts = (
+                jnp.transpose(tmpl[0][:, :win_w, :n], (2, 0, 1)).astype(
+                    jnp.float32
+                )
+                / 32.0
+            )
+        else:
+            iw_pts = None
+    else:
+        # (3, Ky, win_h, Kx*128) i16 — the v2 kernel's blocked layout;
+        # the structure tensor / spectral gating happen in-kernel
+        tmpl = extract_grid_templates_blocked(
+            planes, xs, ys, level, win_w, win_h, pad
+        )
+        slabs, bx, by = extract_grid_slabs_blocked(
+            next_prep.img_p[level], xs, ys, level, win_w, win_h,
+            margin_x, margin_y, pad,
+        )
+        base = jnp.asarray(
+            np.stack(np.meshgrid(bx, by, indexing="ij"), -1).reshape(-1, 2),
+            jnp.int32,
+        )
+        next_tl, status = lk_iterate_grid(
+            tmpl, slabs, base, next_tl0, status,
+            win_w=win_w, win_h=win_h, m_iter=m_iter,
+            level_w=w, level_h=h, max_iters=params.max_iters,
+            eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
+            min_eig_threshold=params.min_eig_threshold,
+            early_exit=params.early_exit, block_n=params.pallas_block,
+        )
+        if level == 0 and params.compute_err:
+            # tmpl[0] is already point-major (N, win_h, 128lane)
+            iw_pts = tmpl[0][..., :win_w].astype(jnp.float32) / 32.0
+        else:
+            iw_pts = None
+
+    next_center_out = next_tl + halfwin
+    if iw_pts is not None:
         jw = extract_patches(
             next_prep.img_p[level], next_tl + jnp.float32(pad), win_h, win_w
         )

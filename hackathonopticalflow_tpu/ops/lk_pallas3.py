@@ -76,6 +76,38 @@ def _chunks(total: int, target: int) -> list[tuple[int, int]]:
     return out
 
 
+def lroll16(v, t: int, axis: int):
+    """LEFT-roll an i16 array by a static t along `axis` via the i32
+    bitcast view (Mosaic does not rotate 16-bit data — measured, see
+    benchmarks/micro_v3probe.py).
+
+    Non-packed axes roll directly on the word view. The SECOND-MINOR
+    axis is packed in (2k, 2k+1) word pairs (low half = even index):
+    even t rolls words by t/2; odd t merges two word rolls with 16-bit
+    shifts so out16[j] = in16[j + t]."""
+    size = v.shape[axis]
+    if t % size == 0:
+        return v
+    packed_axis = v.ndim - 2
+    if axis != packed_axis:
+        w = pltpu.bitcast(v, jnp.int32)
+        return pltpu.bitcast(
+            pltpu.roll(w, w.shape[axis] - t, axis), jnp.int16
+        )
+    half = size // 2
+
+    def uroll(u, s):
+        return pltpu.roll(u, (half - s) % half, axis) if s % half else u
+
+    if t % 2 == 0:
+        w = pltpu.bitcast(v, jnp.int32)
+        return pltpu.bitcast(uroll(w, t // 2), jnp.int16)
+    u = pltpu.bitcast(v, jnp.uint32)
+    lo = uroll(u, (t - 1) // 2) >> 16  # in16[2k+t]: odd index = high half
+    hi = uroll(u, (t + 1) // 2) << 16  # in16[2k+t+1]: even index = low half
+    return pltpu.bitcast((lo | hi).astype(jnp.int32), jnp.int16)
+
+
 def lk_iterate_grid_lanes(
     tmpl: jnp.ndarray,  # (3, win_h, WWP, NP) i16 templates (x32 grid)
     slabs: jnp.ndarray,  # (Ry, Rx, NP) i16 grid-anchored search slabs
@@ -167,13 +199,20 @@ def lk_iterate_grid_lanes(
         crop_bx = base_x + oxm  # (1, 1, b) unpadded coords of crop origin
         crop_by = base_y + oym
 
+        def _lroll(v, t, axis):
+            """Left-roll by static t; 16-bit data goes via the bitcast
+            word view on the real toolchain (no 16-bit Mosaic rotate)."""
+            if interpret or v.dtype.itemsize == 4:
+                return pltpu.roll(v, v.shape[axis] - t, axis)
+            return lroll16(v, t, axis)
+
         def phase_a(read_chunk):
             # y-ladder (cyclic over Ry), chunked along x
             ypieces = []
             for off, size in _chunks(rx, 32):
                 x = read_chunk(off, size).astype(ldt)
                 for t in a_bits_y:
-                    x = jnp.where((oym & t) != 0, pltpu.roll(x, ry - t, 0), x)
+                    x = jnp.where((oym & t) != 0, _lroll(x, t, 0), x)
                 ypieces.append(x[:crop_y])
             yc = jnp.concatenate(ypieces, axis=1)  # (crop_y, rx, b)
             # x-ladder (cyclic over Rx), chunked along y
@@ -181,7 +220,7 @@ def lk_iterate_grid_lanes(
             for off, size in _chunks(crop_y, 24):
                 x = yc[off : off + size]
                 for t in a_bits_x:
-                    x = jnp.where((oxm & t) != 0, pltpu.roll(x, rx - t, 1), x)
+                    x = jnp.where((oxm & t) != 0, _lroll(x, t, 1), x)
                 xpieces.append(x[:, :cxp, :])
             return jnp.concatenate(xpieces, axis=0)  # (crop_y, cxp, b)
 
@@ -212,12 +251,10 @@ def lk_iterate_grid_lanes(
         def _sample(oy_off, ox_off, ax, ay):
             w = crop
             for t in i_bits:
-                w = jnp.where(
-                    (oy_off & t) != 0, pltpu.roll(w, crop_y - t, 0), w
-                )
+                w = jnp.where((oy_off & t) != 0, _lroll(w, t, 0), w)
             w = w[: win_h + 1]
             for t in i_bits:
-                w = jnp.where((ox_off & t) != 0, pltpu.roll(w, cxp - t, 1), w)
+                w = jnp.where((ox_off & t) != 0, _lroll(w, t, 1), w)
             sub = w[:, : wwp + 1, :].astype(jnp.float32)
             # blend at padded width: garbage columns >= win_w meet zero
             # template columns in every consumer reduction

@@ -71,9 +71,12 @@ def test_static_slabs_match_dynamic(level):
     assert np.abs(np.asarray(slabs)[:, :ry, :] - ref[:, :ry, :]).max() == 0.0
 
 
-def test_static_grid_matches_exact_synthetic():
+@pytest.mark.parametrize("kernel", ["blocked", "lanes"])
+def test_static_grid_matches_exact_synthetic(kernel):
     """Full pyramid: static-grid kernel == exact XLA path on a smooth
     synthetic shift (no divergent points)."""
+    import dataclasses
+
     rng = np.random.RandomState(0)
     base = rng.uniform(0, 255, (300, 520)).astype(np.float32)
     k = jnp.asarray([0.25, 0.5, 0.25])
@@ -85,22 +88,57 @@ def test_static_grid_matches_exact_synthetic():
     a = sm[10:280, 20:500]
     b = sm[13:283, 25:505]  # true shift (+5, +3)
     pts, xs, ys = _grid_xy(270, 480)
+    params = dataclasses.replace(STATIC, grid_kernel=kernel)
     ref = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), LKParams())
-    new = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), STATIC)
+    new = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), params)
     d = np.linalg.norm(np.asarray(ref.next_pts) - np.asarray(new.next_pts), axis=-1)
     assert d.max() < 0.05
     assert np.array_equal(np.asarray(ref.status), np.asarray(new.status))
 
 
+def test_lanes_kernel_matches_blocked_synthetic():
+    """The points-in-lanes kernel (ops/lk_pallas3.py) matches the blocked
+    kernel (ops/lk_pallas2.py) — flow to reduction-order f32 noise
+    (different summation layouts), status exactly, err closely — on a
+    smooth synthetic shift."""
+    import dataclasses
+
+    rng = np.random.RandomState(1)
+    base = rng.uniform(0, 255, (300, 520)).astype(np.float32)
+    k = jnp.asarray([0.25, 0.5, 0.25])
+    from hackathonopticalflow_tpu.ops.image import sep_conv2d
+
+    sm = base
+    for _ in range(4):
+        sm = np.asarray(sep_conv2d(jnp.asarray(sm), k, k))
+    a = sm[10:280, 20:500]
+    b = sm[7:277, 24:504]
+    pts, xs, ys = _grid_xy(270, 480)
+    blk = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), STATIC)
+    lan = pyr_lk(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+        dataclasses.replace(STATIC, grid_kernel="lanes"),
+    )
+    assert np.array_equal(np.asarray(blk.status), np.asarray(lan.status))
+    both = np.asarray(blk.status) & np.asarray(lan.status)
+    d = np.abs(np.asarray(blk.next_pts) - np.asarray(lan.next_pts))[both]
+    assert d.max() < 1e-4
+    assert np.abs(np.asarray(blk.err) - np.asarray(lan.err))[both].max() < 1e-4
+
+
 @requires_cv2
-def test_static_grid_vs_cv2_corpus(frame_pair_small):
+@pytest.mark.parametrize("kernel", ["blocked", "lanes"])
+def test_static_grid_vs_cv2_corpus(frame_pair_small, kernel):
     """cv2 oracle parity on real frames: median EPE at the noise floor,
     danger-mask agreement >= 98% (the reference's own filter stage)."""
+    import dataclasses
+
     a, b = frame_pair_small
     h, w = a.shape
     pts, xs, ys = _grid_xy(h, w)
     new = pyr_lk(
-        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32), jnp.asarray(pts), STATIC
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32), jnp.asarray(pts),
+        dataclasses.replace(STATIC, grid_kernel=kernel),
     )
     nxt, st, _ = cv2.calcOpticalFlowPyrLK(
         a, b, pts.reshape(-1, 1, 2), None, winSize=(45, 45), maxLevel=2,

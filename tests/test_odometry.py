@@ -88,7 +88,9 @@ def test_scale_propagation():
         pc = x - cs[k]
         obs[k] = pc[:, :2] / pc[:, 2:3]
     mask = np.ones((m, l), bool)
-    rv, tv, pts3 = init_window_poses(obs, mask, OdometryConfig())
+    rv, tv, pts3 = init_window_poses(
+        obs, mask, OdometryConfig(scale_votes=True)
+    )
     c = _centers(rv, tv)
     # compare step-length RATIOS (global scale is the monocular gauge)
     gt_ratio = np.linalg.norm(np.diff(cs, axis=0), axis=-1)
