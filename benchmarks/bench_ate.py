@@ -295,7 +295,24 @@ def run_ba(frames: np.ndarray):
         )
         kf_idx = res.kf_idx
         out[name] = (res.centers, res.raw_centers)
-    return kf_idx, out
+    return kf_idx, out, table, cam
+
+
+def unit_gauge(centers: np.ndarray) -> np.ndarray:
+    """Renormalize every chain step to unit length, keeping directions.
+
+    The oracle gauges each per-step translation to unit length (monocular
+    scale is unobservable), so chains that recover TRUE relative step
+    scales are penalized by construction; the per-frame comparison in
+    this benchmark already gauge-fixes both sides identically. Applying
+    the same gauge to the keyframe chains isolates what BA can actually
+    improve against this oracle: step directions and rotations."""
+    steps = np.diff(centers, axis=0)
+    n = np.linalg.norm(steps, axis=-1, keepdims=True)
+    dirs = np.where(n > 1e-12, steps / np.maximum(n, 1e-12), steps)
+    return np.concatenate(
+        [centers[:1] * 0, np.cumsum(dirs, axis=0)], axis=0
+    )
 
 
 def main():
@@ -321,11 +338,21 @@ def main():
         )
         # keyframed windowed-BA track vs the oracle sampled at keyframes
         ba_rel = raw_kf_rel = ba_unit_rel = raw_unit_rel = None
+        pair_rel = pair_g_rel = ba_g_rel = raw_g_rel = None
         try:
-            kf_idx, variants = run_ba(frames)
+            from hackathonopticalflow_tpu.nav.camera import Pinhole  # noqa: F401
+
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from diag_odometry import chain_keyframe_pairs
+
+            kf_idx, variants, table, cam = run_ba(frames)
             oracle_kf = oracle[kf_idx]
             span_kf = float(
                 np.linalg.norm(oracle_kf - oracle_kf.mean(0), axis=-1).max() + 1e-9
+            )
+            oracle_g = unit_gauge(oracle_kf)
+            span_g = float(
+                np.linalg.norm(oracle_g - oracle_g.mean(0), axis=-1).max() + 1e-9
             )
             rels = {}
             for vname, (ba_c, raw_c) in variants.items():
@@ -342,6 +369,24 @@ def main():
                 )
             raw_kf_rel, ba_rel = rels["votes"]
             raw_unit_rel, ba_unit_rel = rels["unit"]
+            # direction-only comparison: both sides step-gauged to unit —
+            # the oracle's own convention (monocular scale unobservable)
+            pair_c = chain_keyframe_pairs(table, kf_idx, cam)
+            pair_rel = round(ate_umeyama(pair_c, oracle_kf)["rmse"] / span_kf, 4)
+            pair_g_rel = round(
+                ate_umeyama(unit_gauge(pair_c), oracle_g)["rmse"] / span_g, 4
+            )
+            ba_c, raw_c = variants["unit"]
+            ba_g_rel = round(
+                ate_umeyama(unit_gauge(ba_c), oracle_g)["rmse"] / span_g, 4
+            )
+            raw_g_rel = round(
+                ate_umeyama(unit_gauge(raw_c), oracle_g)["rmse"] / span_g, 4
+            )
+            log(
+                f"{name}: step-gauged rel span — pair {pair_g_rel} "
+                f"raw {raw_g_rel} BA {ba_g_rel} (ungauged pair {pair_rel})"
+            )
         except Exception as e:
             log(f"{name}: BA track failed: {type(e).__name__}: {e}")
         diag = pose_step_diagnostics(frames, K)
@@ -359,6 +404,10 @@ def main():
                     "raw_kf_rel_span": raw_kf_rel,
                     "ba_unit_rel_span": ba_unit_rel,
                     "raw_unit_rel_span": raw_unit_rel,
+                    "pair_rel_span": pair_rel,
+                    "pair_gauged_rel": pair_g_rel,
+                    "ba_gauged_rel": ba_g_rel,
+                    "raw_gauged_rel": raw_g_rel,
                     "step_rot_deg_med": round(diag["rot_deg_med"], 3),
                     "step_tdir_deg_med": round(diag["tdir_deg_med"], 3),
                 }

@@ -8,8 +8,11 @@ pod slice the same code path produces the BASELINE.md scaling row."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -22,7 +25,11 @@ def main():
     )
     import jax
 
-    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+    # deciding by jax.default_backend() would INITIALIZE the axon backend
+    # and pin the process to it (CLAUDE.md: env vars/config after init are
+    # too late). Default to the virtual CPU mesh; opt into real multi-chip
+    # hardware explicitly.
+    if os.environ.get("HOF_SCALING_REAL_TPU") != "1":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -137,25 +137,30 @@ class PathfinderApp:
         danger_counts = []
         t_start = time.time()
         compute_s = 0.0
-        while cfg.max_frames is None or n < cfg.max_frames:
-            frame = reader.read()
-            if frame is None:
-                break
-            gray = _cv2.cvtColor(frame, _cv2.COLOR_BGR2GRAY)
-            t0 = time.time()
-            res = self.compute_frame(prev_gray, gray)
-            jax.block_until_ready(res.modulus)
-            compute_s += time.time() - t0
-            prev_gray = gray
-            danger_counts.append(int(np.asarray(res.good).sum()))
+        # one-frame software pipeline: frame t's flow is DISPATCHED (jax
+        # async dispatch, no block_until_ready — CLAUDE.md sync guidance)
+        # and frame t-1's already-computed result is rendered while the
+        # device works; the np.asarray fetch when consuming is the only
+        # sync point. Keyboard toggles therefore act one frame late —
+        # imperceptible at viewer rates. (Round-2 VERDICT weak #5: the
+        # per-frame path serialized dispatch and host work.)
+        pending: tuple | None = None  # (frame_bgr, res, t_dispatch)
+        stop = False
+
+        def consume(frame, res, t_disp):
+            nonlocal compute_s, stop
+            good = np.asarray(res.good)  # sync point for this frame
+            # dispatch -> result-ready latency; host work overlaps it, so
+            # the sum can exceed wall time
+            compute_s += time.time() - t_disp
+            danger_counts.append(int(good.sum()))
             if render or writer is not None or not headless:
-                fps = (n + 1) / max(time.time() - t_start, 1e-9)
+                fps = len(danger_counts) / max(time.time() - t_start, 1e-9)
                 out = self.render_frame(frame, res, fps=fps)
                 if writer is not None:
                     writer.write(out)
                 if not headless and HAVE_CV2:
                     if cfg.show_lamps:
-                        good = np.asarray(res.good)
                         pts_i = np.asarray(res.pts)
                         flow_good = (np.asarray(res.next_pts) - pts_i)[good]
                         _cv2.imshow(
@@ -167,17 +172,35 @@ class PathfinderApp:
                     _cv2.imshow("flow", out)
                     key = _cv2.waitKey(1) & 0xFF
                     if not self._handle_key(key):
-                        break
+                        stop = True
+
+        while cfg.max_frames is None or n < cfg.max_frames:
+            frame = reader.read()
+            if frame is None:
+                break
+            gray = _cv2.cvtColor(frame, _cv2.COLOR_BGR2GRAY)
+            t0 = time.time()
+            res = self.compute_frame(prev_gray, gray)  # async dispatch
+            prev_gray = gray
             n += 1
+            if pending is not None:
+                consume(*pending)
+            pending = (frame, res, t0)
+            if stop:
+                pending = None
+                break
+        if pending is not None:
+            consume(*pending)
         if writer is not None:
             writer.release()
         wall = time.time() - t_start
+        frames_done = len(danger_counts)
         return {
-            "frames": n,
+            "frames": frames_done,
             "wall_s": wall,
             "compute_s": compute_s,
-            "fps": n / max(wall, 1e-9),
-            "compute_fps": n / max(compute_s, 1e-9),
+            "fps": frames_done / max(wall, 1e-9),
+            "compute_fps": frames_done / max(compute_s, 1e-9),
             "mean_danger_points": float(np.mean(danger_counts)) if danger_counts else 0.0,
         }
 

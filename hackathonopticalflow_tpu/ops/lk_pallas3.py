@@ -155,6 +155,9 @@ def lk_iterate_grid_lanes(
     ldt = jnp.int16 if roll_dtype == "int16" else jnp.float32
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # phase-A/crop STORAGE dtype: always int16 on hardware (slab values
+    # are u8-quantized — exact); interpret mode mirrors the roll dtype
+    rdt = jnp.int16 if (ldt == jnp.int16 or not interpret) else ldt
 
     def kernel(bx_r, by_r, tx_r, ty_r, st_r, tmpl_r, slab_r, out_r, crop_ref):
         ti = pl.program_id(0)
@@ -206,47 +209,61 @@ def lk_iterate_grid_lanes(
                 return pltpu.roll(v, v.shape[axis] - t, axis)
             return lroll16(v, t, axis)
 
-        def phase_a(read_chunk):
+        # phase A streams through int16 SCRATCHES (slab values are
+        # u8-quantized pyramid levels — exact in i16), upcasting each
+        # chunk to f32 only for the rolls (Mosaic has no 16-bit rotate)
+        # and casting straight back: peak VMEM stays ~2 transient chunks
+        # above the i16 storage instead of a full-crop f32 double.
+        def phase_a(read_chunk, yc_ref):
             # y-ladder (cyclic over Ry), chunked along x
-            ypieces = []
             for off, size in _chunks(rx, 32):
-                x = read_chunk(off, size).astype(ldt)
+                x = read_chunk(off, size).astype(jnp.float32)
                 for t in a_bits_y:
                     x = jnp.where((oym & t) != 0, _lroll(x, t, 0), x)
-                ypieces.append(x[:crop_y])
-            yc = jnp.concatenate(ypieces, axis=1)  # (crop_y, rx, b)
+                yc_ref[:, off : off + size, :] = x[:crop_y].astype(rdt)
             # x-ladder (cyclic over Rx), chunked along y
-            xpieces = []
             for off, size in _chunks(crop_y, 24):
-                x = yc[off : off + size]
+                x = yc_ref[off : off + size].astype(jnp.float32)
                 for t in a_bits_x:
                     x = jnp.where((oxm & t) != 0, _lroll(x, t, 1), x)
-                xpieces.append(x[:, :cxp, :])
-            return jnp.concatenate(xpieces, axis=0)  # (crop_y, cxp, b)
+                crop_ref[off : off + size] = x[:, :cxp, :].astype(rdt)
 
         if interpret:
-            crop_ref[...] = phase_a(
-                lambda off, size: slab_r[:, off : off + size, :]
-            )
+
+            def with_scratch(yc_ref):
+                phase_a(
+                    lambda off, size: slab_r[:, off : off + size, :], yc_ref
+                )
+
         else:
 
-            def with_slab(slab_vmem, sem):
+            def with_scratch(slab_vmem, yc_ref, sem):
                 cp = pltpu.make_async_copy(
                     slab_r.at[:, :, pl.ds(ti * b, b)], slab_vmem, sem
                 )
                 cp.start()
                 cp.wait()
-                crop_ref[...] = phase_a(
-                    lambda off, size: slab_vmem[:, off : off + size, :]
+                phase_a(
+                    lambda off, size: slab_vmem[:, off : off + size, :], yc_ref
                 )
 
-            # slab scratch is scoped so phase B gets its VMEM back
+        # slab + intermediate scratches are scoped: phase B gets the
+        # VMEM back and keeps only the small crop
+        if interpret:
             pl.run_scoped(
-                with_slab,
+                with_scratch,
+                yc_ref=pltpu.VMEM((crop_y, rx, b), rdt),
+            )
+        else:
+            pl.run_scoped(
+                with_scratch,
                 slab_vmem=pltpu.VMEM((ry, rx, b), jnp.int16),
+                yc_ref=pltpu.VMEM((crop_y, rx, b), rdt),
                 sem=pltpu.SemaphoreType.DMA(()),
             )
         crop = crop_ref[...]
+        if ldt != jnp.int16:
+            crop = crop.astype(ldt)
 
         def _sample(oy_off, ox_off, ax, ay):
             w = crop
@@ -355,7 +372,7 @@ def lk_iterate_grid_lanes(
         ],
         out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((crop_y, cxp, b), ldt)],
+        scratch_shapes=[pltpu.VMEM((crop_y, cxp, b), rdt)],
         interpret=interpret,
     )(
         lane_rows(slab_base[:, 0]),
