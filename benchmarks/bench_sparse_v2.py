@@ -67,10 +67,6 @@ def main():
     variants["v3"] = LKParams(
         grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes"
     )
-    variants["v3f32"] = LKParams(
-        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
-        lanes_roll_dtype="float32",
-    )
     variants["v3m7"] = LKParams(
         grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
         iter_margin=7,
@@ -79,6 +75,7 @@ def main():
         grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes",
         iter_margin=7, iter_margin_top=16,
     )
+    variants["v3err"] = LKParams(grid_step=30, use_pallas=True, grid_kernel="lanes")
     want = sys.argv[1:] or ["v1", "v2", "v2b64"]
     results = {}
     for name in want:

@@ -60,19 +60,23 @@ def main():
 
     # keep the grid small: each window size is a fresh jit compilation
     # and the 2-CPU host OOMs if caches accumulate (cleared per config)
+    stride = int(os.environ.get("HOF_SWEEP_STRIDE", "3"))
+    clip_filter = os.environ.get("HOF_SWEEP_CLIP", "")
     grid = []
     for window in (4, 5, 6):
         for huber in (1.0, 2.0):
-            grid.append(OdometryConfig(window=window, huber_px=huber))
+            grid.append(
+                OdometryConfig(window=window, huber_px=huber, kf_stride=stride)
+            )
 
     for name, n in CLIPS:
         path = os.path.join("/root/reference/videos", name)
-        if not os.path.exists(path):
+        if not os.path.exists(path) or clip_filter not in name:
             continue
         frames = load(path, n)
         oracle = run_oracle(frames, K)
         table = collect_tracks(frames, params)
-        kf_idx = np.arange(0, len(frames), 3)
+        kf_idx = np.arange(0, len(frames), stride)
         oracle_kf = oracle[kf_idx]
         span_kf = float(
             np.linalg.norm(oracle_kf - oracle_kf.mean(0), axis=-1).max() + 1e-9

@@ -86,16 +86,6 @@ class LKParams:
     #: on the lane axis, every lane live; the round-3 kernel) or
     #: 'blocked' (ops/lk_pallas2.py — window x on lanes, 46/128 live).
     grid_kernel: str = "blocked"
-    #: 'lanes' kernel: points per lane block (128 fills the VPU; the
-    #: wide-margin top level drops to 64 to fit its crop in VMEM).
-    lanes_block: int = 128
-    #: 'lanes' kernel: dtype the alignment/iteration ladders roll.
-    #: 'float32' (default) = plain rolls after one upcast. 'int16' = half
-    #: the vector passes via the i32 bitcast word view — measured to
-    #: wedge this relay's remote-compile backend (2026-08-20, repeated
-    #: FAILED_PRECONDITION after first use; benchmarks/micro_v3probe.py)
-    #: — do not default until the toolchain moves.
-    lanes_roll_dtype: str = "float32"
 
     @property
     def win_area(self) -> int:

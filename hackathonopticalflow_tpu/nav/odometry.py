@@ -49,7 +49,10 @@ from .pose import estimate_relative_pose
 
 @dataclasses.dataclass(frozen=True)
 class OdometryConfig:
-    window: int = 6  # keyframes per BA window
+    #: keyframes per BA window. 4 measured best on the corpus sweep
+    #: (benchmarks/sweep_odometry.py, round 3): small windows limit
+    #: window-internal drift and the pose graph owns composition.
+    window: int = 4
     kf_stride: int = 3  # frames between keyframes
     #: keyframes shared between consecutive windows. 3 gives the
     #: pose-graph stitcher TWO shared steps per window pair to average

@@ -343,20 +343,29 @@ def extract_grid_slabs_lanes(
     margin_y: int,
     pad: int,
     *,
-    np_pad: int | None = None,
+    np_pad: int,
+    lane: int = 128,
 ):
-    """Search slabs in the points-in-lanes layout (Ry, Rx, NP) int16 for
-    ops/lk_pallas3.py, plus the (Kx,), (Ky,) unpadded integer bases.
-    One XLA transpose over the blocked extraction (~74 MB i16 at 1080p
-    level 0 — ~0.2 ms at HBM stream rate)."""
+    """Search slabs in the points-in-lanes BLOCKED layout
+    (Nb, Ry, Rx, 128) int8 for ops/lk_pallas3.py (pixel values biased by
+    -128 — u8-quantized pyramid levels are exact in int8 at a quarter of
+    the f32 bytes), plus the (Kx,), (Ky,) unpadded integer bases.
+    One XLA transpose over the blocked extraction (~37 MB i8 at 1080p
+    level 0 — ~0.1 ms at HBM stream rate)."""
     slabs, bx, by = extract_grid_slabs_blocked(
         plane, xs, ys, level, win_w, win_h, margin_x, margin_y, pad,
         dtype=jnp.int16,
     )  # (N, Ry, Rx)
-    out = jnp.transpose(slabs, (1, 2, 0))  # (Ry, Rx, N)
-    n = out.shape[-1]
-    if np_pad is not None and np_pad != n:
-        out = jnp.pad(out, [(0, 0), (0, 0), (0, np_pad - n)])
+    from .lk_pallas3 import SLAB_BIAS
+
+    s8 = (slabs - SLAB_BIAS).astype(jnp.int8)
+    n, ry, rx = s8.shape
+    assert np_pad % lane == 0
+    if np_pad != n:
+        s8 = jnp.pad(s8, [(0, np_pad - n), (0, 0), (0, 0)])
+    out = jnp.transpose(
+        s8.reshape(np_pad // lane, lane, ry, rx), (0, 2, 3, 1)
+    )  # (Nb, Ry, Rx, lane)
     return out, bx, by
 
 

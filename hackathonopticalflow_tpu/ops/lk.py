@@ -325,18 +325,26 @@ def _level_lk_static_grid(
         )
         from .lk_pallas3 import lk_iterate_grid_lanes
 
-        # the wide-margin top level halves the lane block so its crop
-        # (win+1+2*iter_margin_top)^2 fits VMEM
-        lb = params.lanes_block if m_iter <= 16 else max(
-            params.lanes_block // 2, 8
-        )
+        # lane blocks are 128 (Mosaic lane-axis blocking); the kernel's
+        # chunked ladders keep even the wide-margin top level's crop in
+        # VMEM at the full block
+        lb = 128
         np_pad = -(-n // lb) * lb
+        if level == params.max_level:
+            # the top-level init IS the grid anchor: margins of exactly
+            # iter_margin_top make the slab the iteration crop and the
+            # kernel's phase A a single cast (lk_pallas3.py docstring)
+            margin_x_l = m_iter
+            margin_y_l = m_iter
+        else:
+            margin_x_l = margin_x
+            margin_y_l = margin_y
         tmpl = extract_grid_templates_lanes(
             planes, xs, ys, level, win_w, win_h, pad, np_pad=np_pad
         )
         slabs, bx, by = extract_grid_slabs_lanes(
             next_prep.img_p[level], xs, ys, level, win_w, win_h,
-            margin_x, margin_y, pad, np_pad=np_pad,
+            margin_x_l, margin_y_l, pad, np_pad=np_pad,
         )
         base = np.zeros((np_pad, 2), np.int32)
         base[:n] = np.stack(
@@ -351,8 +359,7 @@ def _level_lk_static_grid(
             level_w=w, level_h=h, max_iters=params.max_iters,
             eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
             min_eig_threshold=params.min_eig_threshold,
-            early_exit=params.early_exit, lane_block=lb,
-            roll_dtype=params.lanes_roll_dtype,
+            early_exit=params.early_exit,
         )
         next_tl = next_tl[:n]
         status = status_p[:n]

@@ -4,37 +4,39 @@ points-in-lanes layout.
 The v2 kernel (ops/lk_pallas2.py) puts the window's x extent on the
 128-lane axis — only win_w+1 = 46 lanes are ever live (36% utilization,
 BASELINE.md roofline) — and blocks points on the sublane-tiled axis.
-This kernel transposes the layout: the LANE axis holds `lane_block`
-POINTS and both window axes live on sublane-tiled dims, so every lane
-computes a distinct point and the per-point vector-op count drops
-~2.5-4x:
+This kernel transposes the layout: the LANE axis holds 128 POINTS and
+both window axes live on sublane-tiled dims, so every lane computes a
+distinct point and the per-point vector-op count drops ~2.5-4x.
 
-- slabs arrive as (Ry, Rx, NP) int16 (exact: pyramid levels are
-  u8-quantized) and templates as (3, win_h, WWP, NP) int16 on OpenCV's
-  x32 window grid (ops/grid_patch.py *_lanes extraction);
-- the per-point alignment ladders become masked rolls along the two
-  SUBLANE-tiled axes with per-LANE (per-point) selection masks — the
-  same log2 ladder as v2, rotated 90 degrees;
-- phase A (once per level) aligns each point's slab to its coarse-level
-  init offset, chunked along the non-rolled axis so transient liveness
-  stays ~2 MB; the slab lives in a run_scoped VMEM scratch (manual DMA,
-  single-buffered — the block's compute dwarfs the copy) whose VMEM is
-  returned before phase B, with the crop handed over via a small
-  kernel-level scratch;
-- phase B (per Gauss-Newton iteration) rolls only the small iteration
-  crop (win+1+2*m_iter per axis); the crop stays int16 end to end when
-  the toolchain rolls 16-bit data (roll_dtype='int16'), upcasting to
-  f32 only at the bilinear blend; otherwise a f32 crop is used
-  (roll_dtype='float32');
-- templates stay int16-resident and dequantize on the fly per use — a
-  f32 copy of 3 planes would add ~3.3 MB of VMEM for a ~10% ALU saving;
-- the blend runs at the PADDED template width (WWP): padded columns are
-  zero in the templates, so their (finite) garbage products vanish in
-  the b1/b2 reductions and every vector op stays 8-lane aligned.
+Design constraints (all measured on this toolchain, 2026-08-20):
+- Mosaic rotates only 32-bit data; 16-bit bitcast-roll tricks wedge the
+  relay's remote-compile backend (micro_v3probe.py) — every roll here
+  happens on f32 CHUNK VALUES, upcast from int-typed storage just for
+  the masked ladder and cast straight back;
+- VMEM scratch writes inside loop bodies SIGABRT (CLAUDE.md), and this
+  kernel's first formulation (run_scoped slab scratch + manual DMA +
+  straight-line scratch writes) crashed the remote compiler outright —
+  so this formulation uses NO scratches and NO in-kernel DMA at all:
+  slabs stream through the normal auto-pipelined BlockSpec path as
+  (Nb, Ry, Rx, 128) INT8 blocks (pyramid levels are u8-quantized;
+  biasing by -128 makes them exact in int8 at a QUARTER of the f32
+  bytes, which is what lets two auto-pipeline buffers fit VMEM);
+- per-point alignment ladders are masked rolls along the two sublane
+  axes with per-LANE (per-point) selection masks, CHUNKED along the
+  non-rolled axis so f32 transients stay ~2 MB; intermediates persist
+  as int16 values (exact for u8 pixel data);
+- the TOP pyramid level needs no phase A: its init is the grid anchor
+  itself, so ops/lk.py sizes the top slab margins to exactly
+  iter_margin_top, the alignment offset is identically zero, and the
+  slab block IS the iteration crop;
+- the bilinear blend runs at the zero-padded template width (WWP) so
+  every vector op stays 8-lane aligned; garbage columns meet zero
+  template columns in every consumer reduction.
 
-Semantics match ops/lk_pallas2.py (same freeze/clamp envelope modulo the
-padded-width fit bound, W_BITS fixed point, oscillation damper, spectral
-gating, status). Interpreter mode off TPU so tests cover it everywhere.
+Semantics match ops/lk_pallas2.py (same freeze/clamp envelope, W_BITS
+fixed point, oscillation damper, spectral gating, status). The same
+code path runs in interpreter mode off-TPU, so CPU tests cover the
+production kernel structure.
 
 Reference: OpenCV lkpyramid.cpp via cv2.calcOpticalFlowPyrLK
 (pathfinder_viewer.py:144-193); cf. SURVEY.md section 2.3 and the
@@ -50,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CV_SCALE = 1.0 / 1024.0
+SLAB_BIAS = 128  # int8 slab values are pixel - SLAB_BIAS
 
 
 def _fix(x):
@@ -76,41 +79,9 @@ def _chunks(total: int, target: int) -> list[tuple[int, int]]:
     return out
 
 
-def lroll16(v, t: int, axis: int):
-    """LEFT-roll an i16 array by a static t along `axis` via the i32
-    bitcast view (Mosaic does not rotate 16-bit data — measured, see
-    benchmarks/micro_v3probe.py).
-
-    Non-packed axes roll directly on the word view. The SECOND-MINOR
-    axis is packed in (2k, 2k+1) word pairs (low half = even index):
-    even t rolls words by t/2; odd t merges two word rolls with 16-bit
-    shifts so out16[j] = in16[j + t]."""
-    size = v.shape[axis]
-    if t % size == 0:
-        return v
-    packed_axis = v.ndim - 2
-    if axis != packed_axis:
-        w = pltpu.bitcast(v, jnp.int32)
-        return pltpu.bitcast(
-            pltpu.roll(w, w.shape[axis] - t, axis), jnp.int16
-        )
-    half = size // 2
-
-    def uroll(u, s):
-        return pltpu.roll(u, (half - s) % half, axis) if s % half else u
-
-    if t % 2 == 0:
-        w = pltpu.bitcast(v, jnp.int32)
-        return pltpu.bitcast(uroll(w, t // 2), jnp.int16)
-    u = pltpu.bitcast(v, jnp.uint32)
-    lo = uroll(u, (t - 1) // 2) >> 16  # in16[2k+t]: odd index = high half
-    hi = uroll(u, (t + 1) // 2) << 16  # in16[2k+t+1]: even index = low half
-    return pltpu.bitcast((lo | hi).astype(jnp.int32), jnp.int16)
-
-
 def lk_iterate_grid_lanes(
     tmpl: jnp.ndarray,  # (3, win_h, WWP, NP) i16 templates (x32 grid)
-    slabs: jnp.ndarray,  # (Ry, Rx, NP) i16 grid-anchored search slabs
+    slabs: jnp.ndarray,  # (Nb, Ry, Rx, 128) i8 search slabs (pixel-128)
     slab_base: jnp.ndarray,  # (NP, 2) i32 [x, y] UNPADDED slab origins
     next_tl0: jnp.ndarray,  # (NP, 2) f32 initial window top-left (unpadded)
     status0: jnp.ndarray,  # (NP,) bool/float
@@ -125,43 +96,38 @@ def lk_iterate_grid_lanes(
     is_level0: bool,
     min_eig_threshold: float = 1e-4,
     early_exit: bool = True,
-    lane_block: int = 128,
-    roll_dtype: str = "int16",
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Points-in-lanes LK level iteration. NP (the padded point count)
-    must be a multiple of lane_block; padded points must carry zero
-    templates (their det == 0 spectral-gates them inactive).
+    """Points-in-lanes LK level iteration. NP = Nb * 128 (the padded
+    point count); padded points must carry zero templates (their
+    det == 0 spectral-gates them inactive).
 
-    roll_dtype: 'int16' rolls the slab/crop as 16-bit data (half the
-    vector passes; requires Mosaic 16-bit rotate support — probed by
-    benchmarks/micro_v3probe.py); 'float32' upcasts before the ladders.
-    """
-    ry, rx, np_ = slabs.shape
-    assert np_ % lane_block == 0, (np_, lane_block)
-    nb = np_ // lane_block
-    b = lane_block
+    When the slab geometry equals the iteration crop (Ry == crop_y and
+    Rx == padded crop_x — the top-level configuration), phase A is a
+    single debias cast and the ladder work vanishes."""
+    nb, ry, rx, b = slabs.shape
+    assert b == 128
+    np_ = nb * b
     crop_y = win_h + 1 + 2 * m_iter
     crop_x = win_w + 1 + 2 * m_iter
-    cxp = _round_up(crop_x, 8)
-    assert crop_y <= ry and cxp <= rx
+    # exact-margin (top-level) slabs carry no x slack: the crop keeps the
+    # raw width; otherwise pad the crop to an 8-aligned width
+    cxp = crop_x if rx == crop_x else _round_up(crop_x, 8)
+    assert crop_y <= ry and cxp <= rx, (crop_y, ry, cxp, rx)
     a_bits_y = _ladder_bits(ry - crop_y)
     a_bits_x = _ladder_bits(rx - cxp)
     i_bits = _ladder_bits(2 * m_iter)
     wwp = tmpl.shape[2]
     assert tmpl.shape == (3, win_h, wwp, np_), tmpl.shape
+    # phase-B window reads stay ahead of the cyclic wrap: live template
+    # columns ([0, win_w)) never see wrapped data
+    assert 2 * m_iter + win_w + 1 <= cxp, (m_iter, win_w, cxp)
 
     flt_eps = 1.1920929e-07
-    ldt = jnp.int16 if roll_dtype == "int16" else jnp.float32
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # phase-A/crop STORAGE dtype: always int16 on hardware (slab values
-    # are u8-quantized — exact); interpret mode mirrors the roll dtype
-    rdt = jnp.int16 if (ldt == jnp.int16 or not interpret) else ldt
 
-    def kernel(bx_r, by_r, tx_r, ty_r, st_r, tmpl_r, slab_r, out_r, crop_ref):
-        ti = pl.program_id(0)
-
+    def kernel(bx_r, by_r, tx_r, ty_r, st_r, tmpl_r, slab_r, out_r):
         def lanes(ref):
             return ref[0].reshape(1, 1, b)
 
@@ -202,77 +168,61 @@ def lk_iterate_grid_lanes(
         crop_bx = base_x + oxm  # (1, 1, b) unpadded coords of crop origin
         crop_by = base_y + oym
 
-        def _lroll(v, t, axis):
-            """Left-roll by static t; 16-bit data goes via the bitcast
-            word view on the real toolchain (no 16-bit Mosaic rotate)."""
-            if interpret or v.dtype.itemsize == 4:
-                return pltpu.roll(v, v.shape[axis] - t, axis)
-            return lroll16(v, t, axis)
+        def deb(v):
+            """int8 slab chunk -> debiased f32 pixels."""
+            return v.astype(jnp.float32) + jnp.float32(SLAB_BIAS)
 
-        # phase A streams through int16 SCRATCHES (slab values are
-        # u8-quantized pyramid levels — exact in i16), upcasting each
-        # chunk to f32 only for the rolls (Mosaic has no 16-bit rotate)
-        # and casting straight back: peak VMEM stays ~2 transient chunks
-        # above the i16 storage instead of a full-crop f32 double.
-        def phase_a(read_chunk, yc_ref):
-            # y-ladder (cyclic over Ry), chunked along x
+        if not a_bits_y and not a_bits_x and (ry, rx) == (crop_y, cxp):
+            # top-level geometry: the block IS the crop (offset == 0)
+            crop = (slab_r[0].astype(jnp.int16) + jnp.int16(SLAB_BIAS))
+        else:
+            # y-ladder (cyclic over Ry), chunked along x; intermediates
+            # persist as exact int16 pixel values
+            ypieces = []
             for off, size in _chunks(rx, 32):
-                x = read_chunk(off, size).astype(jnp.float32)
+                x = deb(slab_r[0, :, off : off + size, :])
                 for t in a_bits_y:
-                    x = jnp.where((oym & t) != 0, _lroll(x, t, 0), x)
-                yc_ref[:, off : off + size, :] = x[:crop_y].astype(rdt)
+                    x = jnp.where(
+                        (oym & t) != 0, pltpu.roll(x, ry - t, 0), x
+                    )
+                ypieces.append(x[:crop_y].astype(jnp.int16))
+            yc = jnp.concatenate(ypieces, axis=1)  # (crop_y, rx, b) i16
             # x-ladder (cyclic over Rx), chunked along y
+            xpieces = []
             for off, size in _chunks(crop_y, 24):
-                x = yc_ref[off : off + size].astype(jnp.float32)
+                x = yc[off : off + size].astype(jnp.float32)
                 for t in a_bits_x:
-                    x = jnp.where((oxm & t) != 0, _lroll(x, t, 1), x)
-                crop_ref[off : off + size] = x[:, :cxp, :].astype(rdt)
-
-        if interpret:
-
-            def with_scratch(yc_ref):
-                phase_a(
-                    lambda off, size: slab_r[:, off : off + size, :], yc_ref
-                )
-
-        else:
-
-            def with_scratch(slab_vmem, yc_ref, sem):
-                cp = pltpu.make_async_copy(
-                    slab_r.at[:, :, pl.ds(ti * b, b)], slab_vmem, sem
-                )
-                cp.start()
-                cp.wait()
-                phase_a(
-                    lambda off, size: slab_vmem[:, off : off + size, :], yc_ref
-                )
-
-        # slab + intermediate scratches are scoped: phase B gets the
-        # VMEM back and keeps only the small crop
-        if interpret:
-            pl.run_scoped(
-                with_scratch,
-                yc_ref=pltpu.VMEM((crop_y, rx, b), rdt),
-            )
-        else:
-            pl.run_scoped(
-                with_scratch,
-                slab_vmem=pltpu.VMEM((ry, rx, b), jnp.int16),
-                yc_ref=pltpu.VMEM((crop_y, rx, b), rdt),
-                sem=pltpu.SemaphoreType.DMA(()),
-            )
-        crop = crop_ref[...]
-        if ldt != jnp.int16:
-            crop = crop.astype(ldt)
+                    x = jnp.where(
+                        (oxm & t) != 0, pltpu.roll(x, rx - t, 1), x
+                    )
+                xpieces.append(x[:, :cxp, :].astype(jnp.int16))
+            crop = jnp.concatenate(xpieces, axis=0)  # (crop_y, cxp, b) i16
 
         def _sample(oy_off, ox_off, ax, ay):
-            w = crop
-            for t in i_bits:
-                w = jnp.where((oy_off & t) != 0, _lroll(w, t, 0), w)
-            w = w[: win_h + 1]
-            for t in i_bits:
-                w = jnp.where((ox_off & t) != 0, _lroll(w, t, 1), w)
-            sub = w[:, : wwp + 1, :].astype(jnp.float32)
+            """Bilinear window at per-lane offsets via CHUNKED masked-roll
+            ladders: f32 transients stay ~2 chunks above the int16 crop,
+            which is what lets the wide-margin top level (crop 110x112)
+            run at the full 128-lane block within VMEM."""
+            # y-ladder (cyclic over crop_y), chunked along x
+            ypieces = []
+            for off, size in _chunks(cxp, 32):
+                w = crop[:, off : off + size, :].astype(jnp.float32)
+                for t in i_bits:
+                    w = jnp.where(
+                        (oy_off & t) != 0, pltpu.roll(w, crop_y - t, 0), w
+                    )
+                ypieces.append(w[: win_h + 1])
+            w = jnp.concatenate(ypieces, axis=1)  # (win_h+1, cxp, b) f32
+            # x-ladder (cyclic over cxp), chunked along y
+            xpieces = []
+            for off, size in _chunks(win_h + 1, 24):
+                v = w[off : off + size]
+                for t in i_bits:
+                    v = jnp.where(
+                        (ox_off & t) != 0, pltpu.roll(v, cxp - t, 1), v
+                    )
+                xpieces.append(v[:, : wwp + 1, :])
+            sub = jnp.concatenate(xpieces, axis=0)  # (win_h+1, wwp+1, b)
             # blend at padded width: garbage columns >= win_w meet zero
             # template columns in every consumer reduction
             return _fix(
@@ -355,24 +305,21 @@ def lk_iterate_grid_lanes(
         )
 
     def lane_rows(x):
-        return x.astype(jnp.float32).reshape(1, nb, b)
+        # (nb, 1, b): the block (1, 1, b) then equals the trailing array
+        # dims — Mosaic requires trailing block dims divisible by (8, 128)
+        # OR equal to the array dims
+        return x.astype(jnp.float32).reshape(nb, 1, b)
 
-    if interpret:
-        slab_spec = pl.BlockSpec((ry, rx, b), lambda i: (0, 0, i))
-    else:
-        # full array pinned off-VMEM; the kernel DMAs its own lane block
-        slab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 1, b), lambda i: (0, i, 0))] * 5
+        in_specs=[pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0))] * 5
         + [
             pl.BlockSpec((3, win_h, wwp, b), lambda i: (0, 0, 0, i)),
-            slab_spec,
+            pl.BlockSpec((1, ry, rx, b), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((crop_y, cxp, b), rdt)],
         interpret=interpret,
     )(
         lane_rows(slab_base[:, 0]),

@@ -199,4 +199,6 @@ def test_pose_chain_ate_bound_real_clip():
     oracle_c = chain(oracle_poses)
     span = float(np.linalg.norm(oracle_c - oracle_c.mean(0), axis=-1).max())
     ate = ate_umeyama(ours_c, oracle_c)
-    assert ate["rmse"] / span < 0.30, (ate["rmse"], span)
+    # round-3 bound (VERDICT r2 item 5): measured ~0.07-0.09 on this
+    # window across rounds; 0.15 catches a ~2x drift regression
+    assert ate["rmse"] / span < 0.15, (ate["rmse"], span)
