@@ -170,9 +170,12 @@ def bench_sparse(n_pairs: int = 24):
 
     pts = jax.device_put(jnp.asarray(pts_np))
     dev = jax.device_put(jnp.asarray(frames))
-    # static-grid v2 kernel (ops/lk_pallas2.py): grid-anchored slabs,
-    # blocked static extraction; the reference pipeline never reads err
-    lk_params = LKParams(grid_step=30, use_pallas=True, compute_err=False)
+    # static-grid v3 lanes kernel (ops/lk_pallas3.py): 128 points on the
+    # lane axis, every lane live (94-96 fps vs the v2 blocked kernel's
+    # 56-63 on this relay); the reference pipeline never reads err
+    lk_params = LKParams(
+        grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes"
+    )
 
     @jax.jit
     def run_all(fr):

@@ -14,24 +14,22 @@ baseline. This kernel removes the gathers entirely:
   and shipped as scalar-prefetched QUOTIENTS (by/8, bx/128) that the
   kernel re-multiplies — Mosaic can prove 8*q % 8 == 0, but not anything
   about an opaque SMEM scalar;
-- each pixel's sample is a bilinear "tent" sum over the slab's candidate
-  offsets: out = sum_ry sum_rx ty(ry) * tx(rx) * slab[ry:ry+8, rx:rx+128]
-  with per-pixel weights ty(ry) = max(0, 1 - |ryf - ry|) that are nonzero
-  for exactly the two bilinear rows/columns — VPU fmas, no per-element
-  addressing;
-- TPUs cannot vector-load at data-dependent sublane/lane offsets, so the
-  candidate walk is built from the same primitives as ops/lk_pallas.py:
-  the <=127-lane alignment remainder is consumed by a log2 ladder of
-  static lane rolls masked on the remainder's scalar bits; column
-  candidates then advance by carrying the block through a fori_loop and
-  re-aligning with a static roll-by-1 each step (dynamic trip count = the
-  tile's live column count, prefetched as a scalar — zero dead work); row
-  candidates come in aligned 16-row blocks (static 8q slices, scalar-
-  guarded) expanded by 8 static sublane rolls;
-- because candidates are measured from the tile minimum, live candidates
-  are contiguous from offset 0, so per-tile cost tracks the tile's actual
-  flow spread (typically 2-4 live columns x 1-2 row blocks of the worst
-  case);
+- COLUMN selection is a per-lane dynamic gather: Mosaic lowers
+  jnp.take_along_axis(..., axis=-1) on 32-bit, exactly-128-lane operands
+  to a hardware lane shuffle that runs at VPU-ALU speed (measured
+  2026-08-20, benchmarks/micro_warpgather.py: a 16-gather tile pipeline
+  times within 2% of the same pipeline with gathers deleted). Each
+  pixel's two bilinear columns are fetched by 3 gathers over the slab's
+  three 128-lane column groups + a 2-level select (out-of-range lane
+  indices WRAP mod 128, so no clipping is needed); this replaced a
+  roll-ladder candidate walk whose cost grew with the tile's flow
+  spread (~8.7 ms/call at 720p on real frames vs ~2-4 ms for this form);
+- ROW selection stays a tent sum — sublane-axis gathers do not lower on
+  this toolchain (micro_gatherprobe.py) — but it runs on the already
+  column-gathered (C, 16, 128) strip, so its cost is small and bounded:
+  out = sum_k ty(k) * xb[k] with ty(k) = max(0, 1 - |ryf - k|) nonzero
+  for exactly the two bilinear rows, accumulated over 16-row groups that
+  are scalar-gated by the tile's live row range [ylo, yh);
 - the grid runs one step per tile ROW; the kernel walks the row's column
   tiles in a fori_loop with DOUBLE-BUFFERED slab DMA (warm-up start,
   prefetch next, wait current — the canonical intra-invocation pipeline),
@@ -62,19 +60,21 @@ from jax.experimental.pallas import tpu as pltpu
 # by fy variation across the tile's 128 COLUMNS (not its 8 rows), so the
 # vertical margin must be sized like the horizontal one. The source is
 # padded by (PADT, PADL) so leftward/upward flow up to the margin keeps
-# residuals non-negative; candidates are measured relative to the pixel's
+# residuals non-negative; positions are measured relative to the pixel's
 # own position in the tile.
-#   rows: candidates ryf in [0, RYC-1]; RYC-1 = 80 = spread margin 72 +
-#         base alignment remainder <= 7 + bilinear pair; block q covers
-#         slab rows [8q, 8q+16) so candidate 80 reads rows [80, 96).
-#   cols: candidates rxf in [0, RXC-1] measured from the true tile min;
-#         the <=127 alignment remainder rx0 is consumed in-kernel, so the
-#         slab needs rx0 + (RXC-1) + TW <= COLS: 127 + 128 + 128 < 384.
+#   rows: positions ryf in [0, RYC-1] from the 8-aligned slab base;
+#         RYC-1 = 80 = spread margin 72 + base alignment remainder <= 7
+#         + bilinear pair; 16-row group g covers slab rows [16g, 16g+16)
+#         so position 80 reads rows {80, 81} in group 5 — 96 rows total.
+#   cols: positions rxf in [rx0, rx0 + RXC-1] from the 128-aligned slab
+#         base (rx0 <= 127 is the base alignment remainder); a pixel at
+#         tile lane l gathers slab columns l + floor(rxf) + {0, 1}
+#         <= 127 + 127 + 128 + 1 = 383 = COLS - 1.
 TH, TW = 8, 128
 ROWS, COLS = 96, 384
 RYC = 81
 RXC = 129
-NQ = (RYC + 7) // 8  # 11 aligned row-candidate blocks
+NG = ROWS // 16  # 6 row groups of 16
 PADT = 72  # vertical flow margin (alignment eats the rest of RYC)
 PADL = RXC - 1  # horizontal flow margin
 
@@ -85,8 +85,8 @@ def supports(h: int, w: int) -> bool:
     return h >= 2 and w >= 2
 
 
-def _kernel(by8_ref, bx128_ref, rx0_ref, ylo_ref, yh_ref, xh_ref, src_ref,
-            ryf_ref, rxf_ref, out_ref, slab2, sem2):
+def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
+            yi_ref, xi_ref, ay_ref, ax_ref, out_ref, slab2, sem2):
     c = out_ref.shape[0]
     ti = pl.program_id(0)
     ntx = out_ref.shape[-1] // TW
@@ -118,68 +118,76 @@ def _kernel(by8_ref, bx128_ref, rx0_ref, ylo_ref, yh_ref, xh_ref, src_ref,
 
         slab = slab2.at[slot]
         lanes = pl.ds(tj * TW, TW)
-        ryf = ryf_ref[:, lanes]  # (TH, TW) fractional row candidate offsets
-        rxf = rxf_ref[:, lanes]
-        rx0 = rx0_ref[ti, tj]  # lane alignment remainder, 0..127
-        ylo = ylo_ref[ti, tj]  # first live row candidate (0..7, alignment)
-        yh = yh_ref[ti, tj]  # live candidate counts for this tile
-        xh = xh_ref[ti, tj]
-        acc = jnp.zeros((c, TH, TW), jnp.float32)
-        for q in range(NQ):
+        yi = yi_ref[:, lanes]  # (TH, TW) i32 top-tap row from slab base
+        xi = xi_ref[:, lanes]  # (TH, TW) i32 left-tap column (incl. rx0)
+        ay = ay_ref[:, lanes]  # (TH, TW) f32 bilinear fractions
+        ax = ax_ref[:, lanes]
+        yh = yh_ref[ti, tj]  # exclusive live row bound for this tile
+        lane = lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+        # absolute slab column of each pixel's left bilinear tap
+        ii0 = lane + xi  # (TH, TW) in [0, COLS-2]
+        ks = lax.broadcasted_iota(jnp.int32, (16, TW), 0)
 
-            def q_live(acc, q=q):
-                # (c, 16, COLS) static slice; upcast once so the roll
-                # ladder and tent math stay f32 regardless of slab dtype
-                a0 = slab[:, 8 * q : 8 * q + 16, :].astype(jnp.float32)
-                # consume the alignment remainder: left-roll by rx0 via a
-                # log2 ladder of static rolls masked on rx0's scalar bits
-                # (left-roll by t == roll by COLS - t; cf. ops/lk_pallas.py)
-                for t in (64, 32, 16, 8, 4, 2, 1):
-                    a0 = lax.cond(
-                        (rx0 & t) != 0,
-                        lambda a, t=t: pltpu.roll(a, COLS - t, 2),
-                        lambda a: a,
-                        a0,
-                    )
-                cur0 = a0[:, :, : TW + RXC - 1]  # live lanes only (256)
+        def group(acc, g):
+            # one 16-row slab group: column-gather both bilinear taps for
+            # every output row, then the 16-row y-tent (exactly the two
+            # bilinear rows have nonzero weight; others add zeros)
+            sg = (
+                slab[:, 16 * g : 16 * g + 16, :]
+                .astype(jnp.float32)
+                .reshape(c * 16, COLS)
+            )
+            h0 = sg[:, :TW]
+            h1 = sg[:, TW : 2 * TW]
+            h2 = sg[:, 2 * TW :]
 
-                # row-candidate liveness, per sublane step s: candidates
-                # below the tile's aligned minimum (ylo, only in q == 0)
-                # or at/above the exclusive max (yh) carry zero tent
-                # weight for EVERY pixel — skip their roll+fma entirely.
-                # tyw depends on (q, s) but not rx: hoist out of rx_body.
-                live = [
-                    ((8 * q + s >= ylo) if q == 0 else True)
-                    & (8 * q + s < yh)
-                    for s in range(8)
-                ]
-                tyws = [
-                    jnp.maximum(1.0 - jnp.abs(ryf - float(8 * q + s)), 0.0)
-                    for s in range(8)
-                ]
+            def take(ii):
+                # per-lane shuffle over the three 128-lane column groups;
+                # one shared mod keeps the index in-range for every group
+                # (TPU wraps OOB lanes mod 128 anyway, but interpret mode
+                # — and thus the CPU tests — would fill NaN)
+                iib = jnp.broadcast_to(ii[None, :], (c * 16, TW))
+                iw = lax.rem(iib, TW)
+                v = jnp.where(
+                    iib < TW,
+                    jnp.take_along_axis(h0, iw, axis=1),
+                    jnp.where(
+                        iib < 2 * TW,
+                        jnp.take_along_axis(h1, iw, axis=1),
+                        jnp.take_along_axis(h2, iw, axis=1),
+                    ),
+                )
+                return v.reshape(c, 16, TW)
 
-                def rx_body(rx, carry):
-                    a, cur = carry
-                    txw = jnp.maximum(
-                        1.0 - jnp.abs(rxf - rx.astype(jnp.float32)), 0.0
-                    )
-                    win = cur[:, :, :TW]  # lanes [rx0+rx, rx0+rx+TW)
-                    for s in range(8):
+            rows = []
+            for i in range(TH):
+                t0 = take(ii0[i])
+                t1 = take(ii0[i] + 1)
+                xb = (1.0 - ax[i])[None, None] * t0 + ax[i][None, None] * t1
+                # sample rows are {yi + i, yi + i + 1}: yi is measured at
+                # the tile's row 0, each output row i sits i rows further
+                # down. Integer row match keeps the weights exact (a f32
+                # tent over a 0..255 index costs ~2^-16 on the fraction).
+                d = ks + (16 * g - i) - yi[i][None, :]  # (16, TW) i32
+                ty = jnp.where(
+                    d == 0,
+                    (1.0 - ay[i])[None, :],
+                    jnp.where(d == 1, ay[i][None, :], 0.0),
+                )
+                rows.append(jnp.sum(xb * ty[None], axis=1))
+            return acc + jnp.stack(rows, axis=1)  # (c, TH, TW)
 
-                        def step(a, s=s):
-                            wgt = txw * tyws[s]
-                            # left-roll by s == roll by (size - s);
-                            # pltpu.roll needs non-negative shifts
-                            rows = pltpu.roll(win, 16 - s, 1) if s else win
-                            return a + rows[:, :TH, :] * wgt[None]
-
-                        a = lax.cond(live[s], step, lambda a: a, a)
-                    return a, pltpu.roll(cur, TW + RXC - 2, 2)
-
-                acc, _ = lax.fori_loop(0, xh, rx_body, (acc, cur0))
-                return acc
-
-            acc = lax.cond(8 * q < yh, q_live, lambda a: a, acc)
+        # group 0 is always live (the aligned base remainder is < 8);
+        # later groups are scalar-gated by the tile's live row bound,
+        # widened by TH-1 because the per-row sample index adds i
+        acc = group(jnp.zeros((c, TH, TW), jnp.float32), 0)
+        for g in range(1, NG):
+            acc = lax.cond(
+                16 * g < yh + (TH - 1),
+                lambda a, g=g: group(a, g),
+                lambda a: a,
+                acc,
+            )
         out_ref[:, :, lanes] = acc
         return 0
 
@@ -230,13 +238,12 @@ def warp_bilinear_pallas(
     jl = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % TW
     dy0 = y0 + PADT - il
     dx0 = x0 + PADL - jl
-    dy0_hi, dx0_hi = dy0, dx0
+    dy0_hi = dy0
     if (hp, wp) != (h, w):
         pad2 = ((0, hp - h), (0, wp - w))
         dy0 = jnp.pad(dy0, pad2, constant_values=2**30)
         dx0 = jnp.pad(dx0, pad2, constant_values=2**30)
         dy0_hi = jnp.pad(dy0_hi, pad2, constant_values=-(2**30))
-        dx0_hi = jnp.pad(dx0_hi, pad2, constant_values=-(2**30))
         ax = jnp.pad(ax, pad2)
         ay = jnp.pad(ay, pad2)
 
@@ -247,32 +254,37 @@ def warp_bilinear_pallas(
     xmin = jnp.maximum(tile_reduce(dx0, jnp.min), 0)
     by8 = (ymin // 8).astype(jnp.int32)  # aligned DMA base quotients
     bx128 = (xmin // 128).astype(jnp.int32)
-    rx0 = (xmin - bx128 * 128).astype(jnp.int32)
-    ylo = (ymin - by8 * 8).astype(jnp.int32)  # first live row cand, 0..7
-    # live candidate counts: the max integer residual needs candidates
-    # {resid, resid+1} for its bilinear pair, hence +2 (exclusive bound).
-    # Rows are measured from the ALIGNED base (the 16-row blocks absorb
-    # the <=7 remainder); columns from the true minimum (the in-kernel
-    # roll ladder consumes the remainder).
+    rx0 = (xmin - bx128 * 128).astype(jnp.int32)  # column remainder, 0..127
+    # live row bound: the max integer residual needs rows {resid, resid+1}
+    # for its bilinear pair, hence +2 (exclusive bound), measured from the
+    # ALIGNED base (the 16-row groups absorb the <= 7 remainder)
     yh = jnp.clip(tile_reduce(dy0_hi, jnp.max) - by8 * 8 + 2, 1, RYC).astype(jnp.int32)
-    xh = jnp.clip(tile_reduce(dx0_hi, jnp.max) - xmin + 2, 1, RXC).astype(jnp.int32)
 
     def per_pixel(base):
         return jnp.broadcast_to(
             base[:, None, :, None], (nty, TH, ntx, TW)
         ).reshape(hp, wp)
 
-    ryf = jnp.clip((dy0 - per_pixel(by8 * 8)).astype(jnp.float32) + ay, 0.0, RYC - 1.0)
-    rxf = jnp.clip((dx0 - per_pixel(xmin)).astype(jnp.float32) + ax, 0.0, RXC - 1.0)
+    # integer tap positions from the tile's ALIGNED slab base (rows clip
+    # to the row margin; columns carry the base remainder rx0 so the
+    # kernel's gather index is simply lane + xi), with the bilinear
+    # fractions shipped separately so they stay exact
+    yi = jnp.clip(dy0 - per_pixel(by8 * 8), 0, RYC - 1).astype(jnp.int32)
+    prx0 = per_pixel(rx0)
+    xi = jnp.clip(
+        dx0 - per_pixel(bx128 * 128), prx0, prx0 + (RXC - 1)
+    ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         # one grid step per tile ROW; the kernel loops the row's column
         # tiles itself so the slab DMA double-buffers across them
         grid=(nty,),
         in_specs=[
             # pinned to HBM: the kernel DMAs its own slabs
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
             pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
             pl.BlockSpec((TH, wp), lambda i, *_: (i, 0)),
         ],
@@ -287,5 +299,8 @@ def warp_bilinear_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         interpret=interpret,
-    )(by8, bx128, rx0, ylo, yh, xh, src.astype(slab_dtype), ryf, rxf)
+    )(
+        by8, bx128, yh, src.astype(slab_dtype),
+        yi, xi, ay.astype(jnp.float32), ax.astype(jnp.float32),
+    )
     return out[:, :h, :w]

@@ -25,11 +25,16 @@ from .draw import circle, line, polylines, rectangle
 
 def _host(x) -> np.ndarray:
     """Device array -> contiguous WRITABLE host array. np.asarray of a jax
-    array is a read-only view on CPU and non-contiguous on TPU; cv2 needs
-    a writable C-order buffer either way."""
+    array is a read-only view on CPU and non-contiguous (planar strides)
+    on TPU; cv2 needs a writable C-order buffer either way. NB np.array's
+    default order='K' PRESERVES the planar layout — the copy must force
+    C order explicitly (measured on cv2 5.0: circle() rejects the
+    channel-last-strided copy)."""
     a = np.asarray(x)
-    if not a.flags["C_CONTIGUOUS"] or not a.flags["WRITEABLE"]:
-        a = np.array(a)
+    if not a.flags["C_CONTIGUOUS"]:
+        a = np.ascontiguousarray(a)
+    if not a.flags["WRITEABLE"]:
+        a = a.copy()
     return a
 
 
