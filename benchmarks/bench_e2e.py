@@ -72,7 +72,16 @@ def tpu_chunked(render: bool) -> float:
         PathfinderConfig,
     )
 
-    app = PathfinderApp(PathfinderConfig(video=CLIP))
+    from hackathonopticalflow_tpu.core.config import LKParams
+
+    # the TPU production path: static-grid lanes kernel, err skipped
+    # (the reference pipeline never reads err)
+    app = PathfinderApp(
+        PathfinderConfig(
+            video=CLIP,
+            lk=LKParams(grid_step=30, use_pallas=True, compute_err=False),
+        )
+    )
     stats = app.run_batched(
         chunk=24,
         out_path="/tmp/e2e.mp4" if render else None,

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from ..core.config import FilterParams, GridParams, LKParams, NormalizeParams
 from ..core.grid import measurement_grid
-from ..flow.lk_grid import GridFlowResult, lk_grid_flow, lk_grid_flow_video
+from ..flow.lk_grid import (
+    GridFlowResult,
+    lk_grid_flow,
+    lk_grid_flow_video,
+    pack_grid_result,
+    unpack_grid_result,
+)
 from ..io.prefetch import FramePrefetcher
 from ..io.video import HAVE_CV2, VideoReader
 from ..utils.logging import get_logger
@@ -240,7 +246,12 @@ class PathfinderApp:
 
         @jax.jit
         def chunk_fn(frames_u8):
-            return lk_grid_flow_video(frames_u8, pts_dev, lk=lk, norm=norm, filt=filt)
+            # packed single-array result: ONE D2H transfer per chunk (the
+            # relay charges a round trip per fetched leaf, and the decode
+            # thread contends for the GIL during each one)
+            return pack_grid_result(
+                lk_grid_flow_video(frames_u8, pts_dev, lk=lk, norm=norm, filt=filt)
+            )
 
         writer = None
         if out_path is not None:
@@ -255,9 +266,8 @@ class PathfinderApp:
         # throughput (the reference's FPS overlay also reports post-warmup
         # per-frame rate, pathfinder_viewer.py:339-356)
         h, w = self.reader.height, self.reader.width
-        jax.block_until_ready(
-            chunk_fn(jnp.zeros((chunk + 1, h, w), jnp.uint8)).modulus
-        )
+        jax.block_until_ready(chunk_fn(jnp.zeros((chunk + 1, h, w), jnp.uint8)))
+        pts_i = np.trunc(np.asarray(self.pts) + 0.5).astype(np.int32)
 
         n = 0
         danger_counts = []
@@ -267,7 +277,7 @@ class PathfinderApp:
         def consume(p):
             nonlocal n
             res, bgrs, count = p
-            host = GridFlowResult(*[np.asarray(x) for x in res])  # blocks here
+            host = unpack_grid_result(np.asarray(res), pts_i)  # blocks here
             for i in range(count):
                 danger_counts.append(int(host.good[i].sum()))
                 n += 1
@@ -355,9 +365,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--no-render", action="store_true")
     p.add_argument(
-        "--fast",
+        "--exact",
         action="store_true",
-        help="static-grid Pallas LK kernel (TPU fast path; ~1e-3 px vs exact)",
+        help="exact XLA LK path (OpenCV-parity golden reference; ~10x "
+        "slower than the default static-grid Pallas kernel, which "
+        "matches it to ~1e-3 px)",
     )
     p.add_argument(
         "--chunk",
@@ -372,9 +384,9 @@ def main(argv: list[str] | None = None) -> None:
         start_frame=args.start_frame,
         max_frames=args.max_frames,
         step=args.step,
-        lk=LKParams(grid_step=args.step, use_pallas=True, compute_err=False)
-        if args.fast
-        else LKParams(),
+        lk=LKParams()
+        if args.exact
+        else LKParams(grid_step=args.step, use_pallas=True, compute_err=False),
     )
     app = PathfinderApp(cfg)
     if args.chunk and not args.interactive:

@@ -83,9 +83,10 @@ class LKParams:
     #: in the block converged (while_loop) vs a fixed-trip fori_loop.
     early_exit: bool = True
     #: static-grid kernel layout: 'lanes' (ops/lk_pallas3.py — 128 points
-    #: on the lane axis, every lane live; the round-3 kernel) or
-    #: 'blocked' (ops/lk_pallas2.py — window x on lanes, 46/128 live).
-    grid_kernel: str = "blocked"
+    #: on the lane axis, every lane live; the round-3 kernel, 94-116 fps
+    #: sparse 1080p vs 56-63 for 'blocked') or 'blocked'
+    #: (ops/lk_pallas2.py — window x on lanes, 46/128 live).
+    grid_kernel: str = "lanes"
 
     @property
     def win_area(self) -> int:

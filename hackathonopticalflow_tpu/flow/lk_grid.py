@@ -46,6 +46,50 @@ def _round_ref(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(x + 0.5).astype(jnp.int32)
 
 
+def pack_grid_result(res: GridFlowResult) -> jnp.ndarray:
+    """Flatten a batched (T-frame) GridFlowResult into ONE (T, 10*N)
+    float32 array so streaming consumers pay a SINGLE D2H transfer per
+    chunk — the axon relay charges a round trip per fetched leaf
+    (measured in apps/pathfinder.py run_batched: 0.42 s/chunk for the
+    8-leaf fetch vs 0.25 s packed, worse still when the decode thread
+    contends for the GIL). `pts` is excluded: it is the constant
+    measurement grid the caller already holds."""
+    t = res.modulus.shape[0]
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            res.raw_next_pts.reshape(t, -1),
+            res.flow.astype(f32).reshape(t, -1),
+            res.next_pts.astype(f32).reshape(t, -1),
+            res.modulus,
+            res.ang,
+            res.good.astype(f32),
+            res.status.astype(f32),
+        ],
+        axis=1,
+    )
+
+
+def unpack_grid_result(packed, pts_i) -> GridFlowResult:
+    """Host-side inverse of pack_grid_result. `packed` is the fetched
+    (T, 10*N) numpy array; `pts_i` the (N, 2) int32 rounded grid."""
+    import numpy as np
+
+    t = packed.shape[0]
+    n = pts_i.shape[0]
+    o = [0, 2 * n, 4 * n, 6 * n, 7 * n, 8 * n, 9 * n, 10 * n]
+    return GridFlowResult(
+        raw_next_pts=packed[:, o[0] : o[1]].reshape(t, n, 2),
+        flow=packed[:, o[1] : o[2]].reshape(t, n, 2).astype(np.int32),
+        next_pts=packed[:, o[2] : o[3]].reshape(t, n, 2).astype(np.int32),
+        pts=np.broadcast_to(pts_i, (t, n, 2)),
+        modulus=packed[:, o[3] : o[4]],
+        ang=packed[:, o[4] : o[5]],
+        good=packed[:, o[5] : o[6]] != 0.0,
+        status=packed[:, o[6] : o[7]] != 0.0,
+    )
+
+
 def lk_grid_flow(
     prev_gray: jnp.ndarray,
     gray: jnp.ndarray,
