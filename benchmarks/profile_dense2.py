@@ -197,7 +197,7 @@ def main():
     timeit(
         "farneback_prepared whole pair",
         lambda x0, *rs: fb.farneback_prepared(
-            tuple(rs[: len(rs_prev)]), (x0,) + tuple(rs[len(rs_prev) + 1 :]),
+            tuple(rs[: len(rs_prev)]), (x0,) + tuple(rs[len(rs_prev) :]),
             params,
         ),
         rs_next[0], *rs_prev, *rs_next[1:],

@@ -28,6 +28,7 @@ windows per clip).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -45,6 +46,33 @@ from ..flow.tracker import (
 )
 from .ba import BAState, bundle_adjust, rodrigues, so3_log
 from .pose import estimate_relative_pose
+
+
+def _geometry_device():
+    """Context manager: run the small geometry solves (pose RANSAC,
+    Schur BA — tens of poses, hundreds of landmarks) on the HOST CPU
+    backend when the default device is a remote accelerator. Eager op
+    dispatch over the axon relay costs ~145 ms/op vs ~1 ms on local CPU
+    (measured 2026-08-20); these stages are latency-bound, tiny, and
+    host-side by design — only the tracker runs on the accelerator."""
+    import contextlib
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:  # no CPU backend registered — stay on default
+        return contextlib.nullcontext()
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_track_step(params: TrackerParams):
+    return jax.jit(lambda s, a, b: track_step(s, a, b, params))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_track_video(params: TrackerParams):
+    return jax.jit(lambda fr, s: track_video(fr, params, s))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,8 +132,12 @@ def collect_tracks(
     Chunked and per-frame runs produce identical tables
     (tests/test_tracker.py)."""
     state = init_tracker(params)
-    step = jax.jit(lambda s, a, b: track_step(s, a, b, params))
-    scan = jax.jit(lambda fr, s: track_video(fr, params, s))
+    # module-level jit caches keyed on the (hashable, frozen) params:
+    # defining fresh lambdas here would recompile BOTH graphs on every
+    # collect_tracks call (~50 s on the relay — measured; the scan itself
+    # runs 109 fps at 640x360 once cached)
+    step = _jit_track_step(params)
+    scan = _jit_track_video(params)
     f0 = jnp.asarray(frames[0], jnp.float32)
     state = step(state, f0, f0)  # seed detections on frame 0
     pos = [np.asarray(_heads(state))]
@@ -420,20 +452,21 @@ def ego_motion_track(
     starts: list = []
     stats = []
     start = 0
-    while start < len(kf_idx) - 1:
-        idx = kf_idx[start : start + m]
-        if len(idx) < 2:
-            break
-        pos, mask = build_window(table, idx, cfg)
-        obs = np.asarray(cam.normalize(jnp.asarray(pos)))
-        rv, tv, st = window_ba(obs, mask, cfg)
-        wins_ba.append((rv, tv))
-        wins_raw.append((st["raw_rvecs"], st["raw_tvecs"]))
-        starts.append(start)
-        stats.append(st)
-        start += stride
-    chain_C, chain_R = stitch_pose_graph(wins_ba, starts)
-    raw_C, _ = stitch_pose_graph(wins_raw, starts)
+    with _geometry_device():
+        while start < len(kf_idx) - 1:
+            idx = kf_idx[start : start + m]
+            if len(idx) < 2:
+                break
+            pos, mask = build_window(table, idx, cfg)
+            obs = np.asarray(cam.normalize(jnp.asarray(pos)))
+            rv, tv, st = window_ba(obs, mask, cfg)
+            wins_ba.append((rv, tv))
+            wins_raw.append((st["raw_rvecs"], st["raw_tvecs"]))
+            starts.append(start)
+            stats.append(st)
+            start += stride
+        chain_C, chain_R = stitch_pose_graph(wins_ba, starts)
+        raw_C, _ = stitch_pose_graph(wins_raw, starts)
     k = len(chain_C)
     return EgoMotionResult(
         kf_idx=kf_idx[:k],
