@@ -63,17 +63,28 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
             raise ValueError("streams must share resolution for batching")
     pts = jnp.asarray(measurement_grid(h, w, cfg.step))
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda a, bb: lk_grid_flow(a, bb, pts, lk=cfg.lk, norm=cfg.norm, filt=cfg.filt),
-            in_axes=(0, 0),
-        )
+    pair_fn = lambda a, bb: lk_grid_flow(
+        a, bb, pts, lk=cfg.lk, norm=cfg.norm, filt=cfg.filt
     )
+    if n_dev == b:
+        # one stream per device: vmap partitions cleanly over the mesh
+        fn = jax.jit(jax.vmap(pair_fn, in_axes=(0, 0)))
+    else:
+        # streams share a device and time-multiplex its one core anyway;
+        # lax.map keeps per-kernel VMEM at the single-stream footprint
+        # (vmapping the lanes Pallas kernel x4 exceeds the 16 MB scoped
+        # VMEM limit by ~6% — measured 2026-08-20)
+        fn = jax.jit(lambda aa, bb: jax.lax.map(lambda ab: pair_fn(*ab), (aa, bb)))
 
     prev = np.stack(first).astype(np.float32)
     alive = np.ones(b, bool)
     danger_counts = [[] for _ in range(b)]
     n_steps = 0
+    # compile outside the clock (methodology shared with bench.py /
+    # run_batched: the recorded number is steady-state throughput), and
+    # carry prev ON DEVICE so each step ships one frame batch, not two
+    dev_prev = jax.device_put(jnp.asarray(prev), sharding)
+    jax.block_until_ready(fn(dev_prev, dev_prev).good)
     t0 = time.time()
     while alive.any():
         cur = prev.copy()
@@ -88,15 +99,14 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
                 cur[i] = nxt
         if not alive.any():
             break
-        res = fn(
-            jax.device_put(jnp.asarray(prev), sharding),
-            jax.device_put(jnp.asarray(cur), sharding),
-        )
+        dev_cur = jax.device_put(jnp.asarray(cur), sharding)
+        res = fn(dev_prev, dev_cur)
         good = np.asarray(res.good)
         for i in range(b):
             if alive[i]:
                 danger_counts[i].append(int(good[i].sum()))
         prev = cur
+        dev_prev = dev_cur
         n_steps += 1
 
     wall = time.time() - t0
@@ -125,7 +135,12 @@ def main(argv=None):
     videos = args.videos
     if args.corpus or not videos:
         videos = sorted(glob.glob("/root/reference/videos/*.mp4"))
-    cfg = BatchRunnerConfig(videos=videos, max_frames=args.max_frames)
+    cfg = BatchRunnerConfig(
+        videos=videos,
+        max_frames=args.max_frames,
+        # production path: static-grid lanes kernel (vmapped per stream)
+        lk=LKParams(grid_step=30, use_pallas=True, compute_err=False),
+    )
     print(run_batch(cfg))
 
 
