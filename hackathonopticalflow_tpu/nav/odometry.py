@@ -66,6 +66,18 @@ def _geometry_device():
 
 
 @functools.lru_cache(maxsize=8)
+def _jit_bundle_adjust(iters: int, huber_delta: float | None):
+    """Jitted bundle_adjust keyed on its static config: eager dispatch
+    retraced the whole Schur/scan graph per window (~2.2 s each on this
+    host; the jitted call runs ~0.1 s after one compile per shape)."""
+    return jax.jit(
+        lambda st, lam: bundle_adjust(
+            st, iters=iters, lam=lam, huber_delta=huber_delta
+        )
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _jit_track_step(params: TrackerParams):
     return jax.jit(lambda s, a, b: track_step(s, a, b, params))
 
@@ -320,9 +332,8 @@ def window_ba(
         obs=jnp.asarray(obs),
         mask=jnp.asarray(ok),
     )
-    refined, stats = bundle_adjust(
-        state, iters=cfg.ba_iters, lam=cfg.ba_lambda,
-        huber_delta=cfg.huber_delta,
+    refined, stats = _jit_bundle_adjust(cfg.ba_iters, cfg.huber_delta)(
+        state, cfg.ba_lambda
     )
     return (
         np.asarray(refined.rvecs),

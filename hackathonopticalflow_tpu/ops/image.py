@@ -134,12 +134,48 @@ def gaussian_blur(
     return sep_conv2d(img, k, k, mode=mode)
 
 
+def _box1d(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Sliding window-of-k sum along `axis` of an already-padded array,
+    via doubling: build power-of-2 partial sums (S_2p[i] = S_p[i] +
+    S_p[i+p]) and combine k's binary decomposition — ceil(log2 k) +
+    popcount(k) - 1 adds instead of k-1 (6 vs 14 for Farneback's
+    winsize 15; the >9-tap path otherwise lowers to a banded matmul at
+    ~1% MXU utilization)."""
+
+    def sl(a, start, length):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + length)
+        return a[tuple(idx)]
+
+    n = x.shape[axis]
+    sums = {1: x}
+    p = 1
+    while 2 * p <= k:
+        s = sums[p]
+        m = s.shape[axis]
+        sums[2 * p] = sl(s, 0, m - p) + sl(s, p, m - p)
+        p *= 2
+    out = None
+    off, rem = 0, k
+    out_len = n - k + 1
+    for b in sorted(sums, reverse=True):
+        if rem >= b:
+            part = sl(sums[b], off, out_len)
+            out = part if out is None else out + part
+            off += b
+            rem -= b
+    return out
+
+
 def box_sum(img: jnp.ndarray, ksize: int, *, mode: str = "edge") -> jnp.ndarray:
     """Unnormalized box sums over a ksize x ksize window (replicate border),
     as used by Farneback's flow averaging (OpenCV FarnebackUpdateFlow_blur)
     and cornerMinEigenVal's blockSize aggregation."""
-    ones = jnp.ones((ksize,), img.dtype)
-    return sep_conv2d(img, ones, ones, mode=mode)
+    r = ksize // 2
+    pad = [(0, 0)] * (img.ndim - 2) + [(r, r), (r, r)]
+    x = jnp.pad(img, pad, mode=mode)
+    x = _box1d(x, ksize, axis=-1)
+    return _box1d(x, ksize, axis=-2)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
