@@ -152,27 +152,28 @@ def main():
 
     rep("B keyframe-pair chain", chain_keyframe_pairs(table, kf_idx, cam))
 
-    # C/D: windowed chains via ego_motion_track's internals
-    m, stride = cfg.window, cfg.window - cfg.overlap
-    chain_R, chain_C = [np.eye(3)], [np.zeros(3)]
-    raw_R, raw_C = [np.eye(3)], [np.zeros(3)]
-    start = 0
-    while start < len(kf_idx) - 1:
-        idx = kf_idx[start : start + m]
-        if len(idx) < 2:
-            break
-        pos, mask = build_window(table, idx, cfg)
-        obs = np.asarray(cam.normalize(jnp.asarray(pos)))
-        rv, tv, st = window_ba(obs, mask, cfg)
-        odom._compose_chain(chain_R, chain_C, rv, tv, start)
-        odom._compose_chain(raw_R, raw_C, st["raw_rvecs"], st["raw_tvecs"], start)
+    # C/D: windowed chains via ego_motion_track itself (batched geometry);
+    # time the geometry stage (tracking already cached) — the round-3
+    # VERDICT's 1.16 fps row is this stage
+    import time
+
+    t0 = time.perf_counter()
+    res = odom.ego_motion_track(
+        np.zeros((len(table.pos), 1, 1), np.uint8), None, cam, cfg,
+        table=table,
+    )
+    dt = time.perf_counter() - t0
+    for st, s in zip(res.stats, range(0, len(res.stats))):
         log(
-            f"  window @kf{start:3d}: obs {mask.sum():4d} cost "
+            f"  window {s:3d}: obs {st['n_obs']:4d} cost "
             f"{st['cost0']:.3e}->{st['cost']:.3e}"
         )
-        start += stride
-    rep("C window raw chain", np.stack(raw_C))
-    rep("D window BA chain", np.stack(chain_C))
+    log(
+        f"geometry stage: {dt:.2f}s for {len(table.pos)} frames "
+        f"({len(table.pos) / dt:.1f} fps, incl. compile on first run)"
+    )
+    rep("C window raw chain", res.raw_centers)
+    rep("D window BA chain", res.centers)
 
 
 if __name__ == "__main__":

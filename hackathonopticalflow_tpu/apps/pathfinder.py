@@ -371,6 +371,9 @@ def main(argv: list[str] | None = None) -> None:
         "slower than the default static-grid Pallas kernel, which "
         "matches it to ~1e-3 px)",
     )
+    # deprecated no-op: the Pallas kernel became the default in round 3
+    # (the flag's old meaning); kept so pre-round-3 invocations don't error
+    p.add_argument("--fast", action="store_true", help=argparse.SUPPRESS)
     p.add_argument(
         "--chunk",
         type=int,

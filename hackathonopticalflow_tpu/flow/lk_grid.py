@@ -56,6 +56,8 @@ def pack_grid_result(res: GridFlowResult) -> jnp.ndarray:
     measurement grid the caller already holds."""
     t = res.modulus.shape[0]
     f32 = jnp.float32
+    # int32 fields round-trip through f32: exact only for |v| < 2^24 —
+    # fine for pixel coordinates/flows, do not reuse for larger ints
     return jnp.concatenate(
         [
             res.raw_next_pts.reshape(t, -1),
@@ -82,7 +84,9 @@ def unpack_grid_result(packed, pts_i) -> GridFlowResult:
         raw_next_pts=packed[:, o[0] : o[1]].reshape(t, n, 2),
         flow=packed[:, o[1] : o[2]].reshape(t, n, 2).astype(np.int32),
         next_pts=packed[:, o[2] : o[3]].reshape(t, n, 2).astype(np.int32),
-        pts=np.broadcast_to(pts_i, (t, n, 2)),
+        # materialize (not a zero-strided broadcast view) so consumers can
+        # mutate or hand the field to APIs needing a writable buffer
+        pts=np.ascontiguousarray(np.broadcast_to(pts_i, (t, n, 2))),
         modulus=packed[:, o[3] : o[4]],
         ang=packed[:, o[4] : o[5]],
         good=packed[:, o[5] : o[6]] != 0.0,
