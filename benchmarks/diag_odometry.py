@@ -141,7 +141,12 @@ def main():
         max_reproj=3.0 / cam.fx,
         scale_votes=os.environ.get("DIAG_SCALE_VOTES", "1") == "1",
     )
-    kf_idx = np.arange(0, len(table.pos), cfg.kf_stride)
+    if cfg.kf_stride is None:
+        kf_idx = odom.select_keyframes(table, cam, cfg)
+        log(f"adaptive keyframes: {len(kf_idx)} strides "
+            f"{np.diff(kf_idx).tolist()}")
+    else:
+        kf_idx = np.arange(0, len(table.pos), cfg.kf_stride)
     oracle_kf = oracle[kf_idx]
     span = float(np.linalg.norm(oracle_kf - oracle_kf.mean(0), axis=-1).max())
 

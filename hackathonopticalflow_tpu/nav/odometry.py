@@ -129,7 +129,29 @@ class OdometryConfig:
     #: (benchmarks/sweep_odometry.py, round 3): small windows limit
     #: window-internal drift and the pose graph owns composition.
     window: int = 4
-    kf_stride: int = 3  # frames between keyframes
+    #: frames between keyframes. None (default) -> ADAPTIVE selection
+    #: (select_keyframes): the next keyframe is the first frame whose
+    #: rotation-compensated median parallax vs the current keyframe
+    #: clears the clip's own single-frame residual floor by kf_alpha,
+    #: bounded to [kf_min_stride, kf_max_stride]. The round-3 fixed
+    #: stride 3 starved the коридор clip of parallax signal (fast
+    #: rotation + motion blur put its PER-STEP residual floor at ~5 px
+    #: vs здания's ~1.3): BA lost to the keyframe-pair chain there at
+    #: stride 3 but won at stride 5 (BASELINE.md r3/r4 ATE tables) —
+    #: stride must follow the measured signal-to-floor ratio, not a
+    #: constant.
+    kf_stride: int | None = None
+    #: adaptive selector: required ratio of candidate parallax to the
+    #: single-frame residual floor (both rotation-compensated medians).
+    kf_alpha: float = 2.5
+    #: adaptive selector: absolute parallax floor (px) — guards the
+    #: ratio rule when the clip's noise floor is tiny.
+    kf_min_px: float = 2.0
+    #: adaptive selector: minimum shared live tracks; candidates with
+    #: fewer stop the stride extension (track survival bound).
+    kf_min_tracks: int = 24
+    kf_min_stride: int = 2
+    kf_max_stride: int = 6
     #: keyframes shared between consecutive windows. 3 gives the
     #: pose-graph stitcher TWO shared steps per window pair to average
     #: scale and rotation over (2 was a single noisy vote — round-2
@@ -225,6 +247,104 @@ def build_window(
     keep = mask.sum(0) >= max(cfg.min_track_obs, 2)
     mask = mask & keep[None, :]
     return pos, mask
+
+
+def _rotation_residual_px(p0, p1, ok, fx):
+    """Median pixel residual after the best rotation-only alignment of
+    the two frames' bearing vectors (Kabsch over the correspondence
+    covariance). Pure camera rotation explains image motion exactly at
+    any depth; the residual is translation-induced parallax — the
+    quantity that conditions two-view translation estimation. Jittable;
+    vmapped over candidate frames by select_keyframes."""
+    ones = jnp.ones_like(p0[:, :1])
+    b0 = jnp.concatenate([p0, ones], axis=-1)
+    b1 = jnp.concatenate([p1, ones], axis=-1)
+    b0 = b0 / jnp.linalg.norm(b0, axis=-1, keepdims=True)
+    b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    w = ok.astype(jnp.float32)
+    H = jnp.einsum("n,ni,nj->ij", w, b1, b0)
+    u, _, vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(u @ vt)
+    R = u @ jnp.diag(jnp.array([1.0, 1.0, d])) @ vt
+    rb = b0 @ R.T
+    z = jnp.where(jnp.abs(rb[:, 2]) < 1e-6, 1e-6, rb[:, 2])
+    proj = rb[:, :2] / z[:, None]
+    err = jnp.linalg.norm(proj - p1, axis=-1) * fx
+    err = jnp.where(ok, err, jnp.nan)
+    return jnp.nanmedian(err)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_parallax_batch():
+    return jax.jit(jax.vmap(_rotation_residual_px, in_axes=(None, 0, 0, None)))
+
+
+def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
+    """Adaptive keyframe selection (cfg.kf_stride is None).
+
+    Greedy walk: from keyframe a, evaluate the rotation-compensated
+    median parallax of frame a+1 (the clip's PER-STEP residual floor —
+    track noise + motion blur; parallax at one 16 ms baseline is
+    negligible) and of every candidate a+s, s in [kf_min_stride,
+    kf_max_stride]. The next keyframe is the first candidate whose
+    parallax clears max(kf_alpha * floor, kf_min_px) — i.e. the first
+    baseline at which translation signal dominates the clip's own noise
+    — bounded by track survival (kf_min_tracks shared live tracks).
+    Fast-rotation clips (high floor) stretch the baseline; clean forward
+    flight keeps keyframes dense. One vmapped dispatch per keyframe
+    evaluates the floor and the whole candidate range (padded to a
+    clip-independent shape so the compile is shared)."""
+    f = len(table.pos)
+    npos = np.asarray(cam.normalize(table.pos))
+    lo, hi = cfg.kf_min_stride, cfg.kf_max_stride
+    kf = [0]
+    run = _jit_parallax_batch()
+    while kf[-1] < f - 1:
+        a = kf[-1]
+        cand = np.arange(a + lo, min(a + hi, f - 1) + 1)
+        if len(cand) == 0:
+            break
+        if len(cand) == 1:
+            kf.append(int(cand[0]))
+            continue
+        # leading entry a+1 measures the noise floor; pad the candidate
+        # axis to the full range so the compile is clip-independent
+        cand_p = np.concatenate(
+            [[a + 1], cand, np.repeat(cand[-1], (hi - lo + 1) - len(cand))]
+        )
+        # same physical track at both ends: alive at both, birth matches
+        ok = (
+            table.alive[a][None, :]
+            & table.alive[cand_p]
+            & (table.birth[cand_p] == table.birth[a][None, :])
+        )
+        res = np.asarray(
+            run(
+                jnp.asarray(npos[a]),
+                jnp.asarray(npos[cand_p]),
+                jnp.asarray(ok),
+                jnp.float32(cam.fx),
+            )
+        )
+        floor, res = res[0], res[1 : 1 + len(cand)]
+        n_shared = ok[1 : 1 + len(cand)].sum(1)
+        thresh = max(
+            cfg.kf_alpha * (floor if np.isfinite(floor) else 0.0),
+            cfg.kf_min_px,
+        )
+        # candidates past the track-survival bound are ineligible (but
+        # keep at least the first so the walk always advances)
+        alivec = (n_shared >= cfg.kf_min_tracks) | (
+            np.arange(len(cand)) == 0
+        )
+        eligible = np.nan_to_num(res, nan=np.inf) >= thresh
+        hit = np.flatnonzero(eligible & alivec)
+        if len(hit):
+            pick = hit[0]
+        else:
+            pick = int(np.flatnonzero(alivec)[-1])  # furthest surviving
+        kf.append(int(cand[pick]))
+    return np.asarray(kf)
 
 
 def _pose_mats(rvecs: jnp.ndarray, tvecs: jnp.ndarray) -> jnp.ndarray:
@@ -567,8 +687,11 @@ def ego_motion_track(
         )
     if table is None:
         table = collect_tracks(frames, tracker_params)
-    f = len(frames)
-    kf_idx = np.arange(0, f, cfg.kf_stride)
+    f = len(table.pos)
+    if cfg.kf_stride is None:
+        kf_idx = select_keyframes(table, cam, cfg)
+    else:
+        kf_idx = np.arange(0, f, cfg.kf_stride)
     if len(kf_idx) < 2:
         raise ValueError("clip too short for a keyframe window")
     m = cfg.window

@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from conftest import requires_cv2
+
 from hackathonopticalflow_tpu.nav.ba import rodrigues
 from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
 from hackathonopticalflow_tpu.nav.odometry import (
@@ -117,6 +119,161 @@ def test_build_window_masks_slot_reuse():
     assert not mask[0, 1] and mask[1, 1] and mask[2, 1]
     # a track with a single keyframe observation is useless for BA
     assert not mask[:, 2].any()
+
+
+def test_select_keyframes_stretches_on_high_floor():
+    """The adaptive selector must pick longer strides when the clip's
+    single-frame residual floor is high (rotation/blur noise) and short
+    ones when parallax accumulates cleanly above a low floor."""
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.odometry import select_keyframes
+
+    rng = np.random.RandomState(0)
+    f, t = 40, 64
+    cam = Pinhole.from_fov(320, 180, 90.0)
+
+    def table_for(noise_px, parallax_px_per_frame):
+        base = rng.uniform([40, 40], [280, 140], (t, 2)).astype(np.float32)
+        pos = np.zeros((f, t, 2), np.float32)
+        # radial expansion from center ~ forward-motion parallax; noise
+        # models the per-frame track jitter floor
+        ctr = np.array([160.0, 90.0])
+        d = base - ctr
+        dn = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-6)
+        for i in range(f):
+            pos[i] = (
+                base
+                + dn * parallax_px_per_frame * i
+                + rng.normal(0, noise_px, (t, 2))
+            )
+        alive = np.ones((f, t), bool)
+        birth = np.zeros((f, t), np.int32)
+        return TrackTable(pos=pos, alive=alive, birth=birth)
+
+    cfg = OdometryConfig()
+    clean = select_keyframes(table_for(0.3, 1.5), cam, cfg)
+    noisy = select_keyframes(table_for(3.0, 1.5), cam, cfg)
+    assert np.median(np.diff(clean)) <= np.median(np.diff(noisy))
+    assert np.diff(noisy).max() <= cfg.kf_max_stride
+    assert np.diff(clean).min() >= cfg.kf_min_stride
+
+
+@requires_cv2
+@pytest.mark.parametrize(
+    "clip", ["CLIP_BUILDINGS", "CLIP_CORRIDOR"], ids=["buildings", "corridor"]
+)
+def test_ba_beats_pair_chain_real_clip(clip):
+    """ATE regression (VERDICT r3 item 5): at the SHIPPED defaults
+    (adaptive keyframes, unit-step init, Huber BA) the windowed-BA chain
+    must match or beat the keyframe-pair essential chain on BOTH corpus
+    clips, gauged against the cv2-composed oracle on identical
+    correspondences. Measured at this scale (90f @480x270): buildings
+    pair 0.21 -> BA 0.08; corridor pair 0.04 -> BA 0.015."""
+    import os
+
+    import conftest
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
+    from hackathonopticalflow_tpu.nav.odometry import (
+        collect_tracks,
+        select_keyframes,
+    )
+    from hackathonopticalflow_tpu.nav.pose import estimate_relative_pose
+
+    path = getattr(conftest, clip)
+    if not os.path.exists(path):
+        pytest.skip("corpus missing")
+    import cv2
+
+    w, h, n = 480, 270, 90
+    cap = cv2.VideoCapture(path)
+    cap.set(cv2.CAP_PROP_POS_FRAMES, 10)
+    frames = []
+    for _ in range(n):
+        ok, f = cap.read()
+        assert ok
+        frames.append(
+            cv2.resize(
+                cv2.cvtColor(f, cv2.COLOR_BGR2GRAY), (w, h),
+                interpolation=cv2.INTER_AREA,
+            )
+        )
+    cap.release()
+    frames = np.stack(frames)
+
+    params = TrackerParams(
+        lk=LKParams(win_size=(15, 15)),
+        max_tracks=128,
+        features=FeatureParams(
+            max_corners=60, quality_level=0.1, max_candidates=512
+        ),
+    )
+    cam = Pinhole.from_fov(w, h, 155.0)
+    K = np.array(
+        [[cam.fx, 0, w / 2.0], [0, cam.fy, h / 2.0], [0, 0, 1.0]]
+    )
+    table = collect_tracks(frames, params)
+    cfg = OdometryConfig(
+        inlier_thresh=cam.sq_norm_thresh(1.0),
+        max_reproj=3.0 / cam.fx,
+        huber_delta=2.0 / cam.fx,
+    )
+    kf = select_keyframes(table, cam, cfg)
+
+    def chain(poses):
+        Rwc, C = np.eye(3), np.zeros(3)
+        out = [C.copy()]
+        for R, t in poses:
+            C = C + Rwc @ (-R.T @ t)
+            Rwc = Rwc @ R.T
+            out.append(C.copy())
+        return np.stack(out)
+
+    def unit_gauge(c):
+        steps = np.diff(c, axis=0)
+        nn = np.linalg.norm(steps, axis=-1, keepdims=True)
+        dirs = np.where(nn > 1e-12, steps / np.maximum(nn, 1e-12), steps)
+        return np.concatenate([c[:1] * 0, np.cumsum(dirs, axis=0)], axis=0)
+
+    orc, ours = [], []
+    for a, b in zip(kf[:-1], kf[1:]):
+        ok = (
+            table.alive[a]
+            & table.alive[b]
+            & (table.birth[a] == table.birth[b])
+        )
+        p0 = np.ascontiguousarray(table.pos[a][ok])
+        p1 = np.ascontiguousarray(table.pos[b][ok])
+        E, inl = cv2.findEssentialMat(
+            p0, p1, K, method=cv2.RANSAC, prob=0.999, threshold=1.0
+        )
+        _n, R_o, t_o, _m = cv2.recoverPose(E, p0, p1, K, mask=inl)
+        orc.append((R_o, t_o.reshape(3)))
+        rp = estimate_relative_pose(
+            cam.normalize(jnp.asarray(table.pos[a])),
+            cam.normalize(jnp.asarray(table.pos[b])),
+            jnp.asarray(ok),
+            inlier_thresh=cam.sq_norm_thresh(1.0),
+        )
+        ours.append((np.asarray(rp.R), np.asarray(rp.t).reshape(3)))
+    oracle_c = chain(orc)
+    pair_c = chain(ours)
+    res = ego_motion_track(frames, params, cam, cfg, table=table)
+
+    k = min(len(res.centers), len(oracle_c))
+    g_or = unit_gauge(oracle_c[:k])
+    span = float(np.linalg.norm(g_or - g_or.mean(0), axis=-1).max())
+    pair_g = ate_umeyama(unit_gauge(pair_c[:k]), g_or)["rmse"] / span
+    ba_g = ate_umeyama(unit_gauge(res.centers[:k]), g_or)["rmse"] / span
+    # BA must not lose to the pair chain (small tolerance for jitter),
+    # and must stay in the regime the r4 measurement established
+    assert ba_g <= pair_g * 1.10 + 0.01, (ba_g, pair_g)
+    assert ba_g < 0.15, ba_g
 
 
 def test_ego_motion_track_synthetic_clip():
