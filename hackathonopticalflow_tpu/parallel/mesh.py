@@ -47,10 +47,16 @@ def init_multihost(coordinator: str | None = None, num_processes: int | None = N
     """
     import jax
 
-    if jax.process_count() > 1:
-        return
     if coordinator is None:
         return  # single host
+    # must not touch jax.process_count()/devices() here: any backend
+    # query initializes XLA and jax.distributed.initialize then refuses
+    # to run (measured by benchmarks/rehearse_multihost.py round 4) —
+    # probe the distributed client state directly instead
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
