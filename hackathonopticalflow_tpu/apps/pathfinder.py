@@ -58,6 +58,16 @@ class PathfinderConfig:
     lk: LKParams = LKParams()
     norm: NormalizeParams = NormalizeParams()
     filt: FilterParams = FilterParams()
+    #: true checkpoint/resume (utils/checkpoint.py) — the reference only
+    #: has the state-losing start_frame seek (pathfinder_viewer.py:15,240).
+    #: When set, run_batched atomically saves (absolute frame index,
+    #: previous gray frame) at chunk boundaries and, on start, resumes
+    #: from the file if it exists; the resumed output stream is
+    #: numerically identical to the uninterrupted one
+    #: (tests/test_apps.py::test_pathfinder_checkpoint_resume).
+    checkpoint_path: str | None = None
+    #: save cadence in frames (rounded up to chunk boundaries).
+    checkpoint_every: int = 96
 
 
 class PathfinderApp:
@@ -230,13 +240,42 @@ class PathfinderApp:
         cost — the per-frame path pays the ~30 ms relay round trip every
         frame; this path pays it once per `chunk` pairs."""
         cfg = self.cfg
+        import os
+
         import cv2 as _cv2
 
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
         keep_bgr = render or out_path is not None
+        h, w = self.reader.height, self.reader.width
+        # resume: restore (absolute next-frame index, previous gray) —
+        # the stream continues numerically identical to an uninterrupted
+        # run because checkpoints land only on chunk boundaries
+        resume_prev = None
+        start_abs = cfg.start_frame
+        if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+            saved = load_checkpoint(
+                cfg.checkpoint_path,
+                {
+                    "frame_idx": np.int64(0),
+                    "prev_gray": np.zeros((h, w), np.uint8),
+                },
+            )
+            start_abs = int(saved["frame_idx"])
+            resume_prev = np.asarray(saved["prev_gray"])
+            log.info("resuming from checkpoint at frame %d", start_abs)
+        # max_frames counts decoded frames from cfg.start_frame in the
+        # UNINTERRUPTED run; a resumed run decodes the remainder
+        end_abs = (
+            None
+            if cfg.max_frames is None
+            else cfg.start_frame + cfg.max_frames + 1
+        )
+        n_decode = None if end_abs is None else max(end_abs - start_abs, 0)
         pre = FramePrefetcher(
             cfg.video,
-            start_frame=cfg.start_frame,
-            max_frames=None if cfg.max_frames is None else cfg.max_frames + 1,
+            start_frame=start_abs,
+            max_frames=n_decode,
             depth=chunk + 2,
             to_device=False,
             keep_bgr=keep_bgr,
@@ -265,18 +304,20 @@ class PathfinderApp:
         # compile outside the clock: the e2e number is steady-state
         # throughput (the reference's FPS overlay also reports post-warmup
         # per-frame rate, pathfinder_viewer.py:339-356)
-        h, w = self.reader.height, self.reader.width
         jax.block_until_ready(chunk_fn(jnp.zeros((chunk + 1, h, w), jnp.uint8)))
         pts_i = np.trunc(np.asarray(self.pts) + 0.5).astype(np.int32)
 
         n = 0
         danger_counts = []
+        since_save = 0
         t_start = time.time()
-        pending = None  # (device result, bgr frames of pairs, valid pair count)
+        # (device result, bgr pair frames, valid count, last gray, abs
+        # index of the frame AFTER this chunk's last pair)
+        pending = None
 
         def consume(p):
-            nonlocal n
-            res, bgrs, count = p
+            nonlocal n, since_save
+            res, bgrs, count, last_gray, abs_end = p
             host = unpack_grid_result(np.asarray(res), pts_i)  # blocks here
             for i in range(count):
                 danger_counts.append(int(host.good[i].sum()))
@@ -287,31 +328,48 @@ class PathfinderApp:
                     out = self.render_frame(bgrs[i], one, fps=fps_now)
                     if writer is not None:
                         writer.write(out)
+            since_save += count
+            if cfg.checkpoint_path and since_save >= cfg.checkpoint_every:
+                # atomic (tmp + rename): a kill mid-save leaves the
+                # previous checkpoint intact
+                save_checkpoint(
+                    cfg.checkpoint_path,
+                    frame_idx=np.int64(abs_end),
+                    prev_gray=np.asarray(last_gray, np.uint8),
+                )
+                since_save = 0
 
-        def dispatch(grays, bgrs):
+        def dispatch(grays, bgrs, abs_end):
             nonlocal pending
             valid = len(grays) - 1
             if valid < 1:
                 return
+            last_gray = grays[-1]
             if valid < chunk:  # pad the tail chunk to avoid a recompile
                 grays = grays + [grays[-1]] * (chunk - valid)
             dev = jax.device_put(jnp.asarray(np.stack(grays)))
             res = chunk_fn(dev)  # async dispatch
-            prev, pending = pending, (res, bgrs[1:], valid)
+            prev, pending = pending, (res, bgrs[1:], valid, last_gray, abs_end)
             if prev is not None:
                 consume(prev)
 
         buf_gray: list = []
         buf_bgr: list = []
+        abs_next = start_abs  # absolute index of the next decoded frame
+        if resume_prev is not None:
+            # the checkpointed previous frame seeds the first pair
+            buf_gray.append(resume_prev)
+            buf_bgr.append(None)
         for item in pre:
             bgr, gray = item if keep_bgr else (None, item)
             buf_gray.append(gray)
             buf_bgr.append(bgr)
+            abs_next += 1
             if len(buf_gray) == chunk + 1:
-                dispatch(buf_gray, buf_bgr)
+                dispatch(buf_gray, buf_bgr, abs_next)
                 buf_gray, buf_bgr = [buf_gray[-1]], [buf_bgr[-1]]
         if len(buf_gray) > 1:
-            dispatch(buf_gray, buf_bgr)
+            dispatch(buf_gray, buf_bgr, abs_next)
         if pending is not None:
             consume(pending)
         if writer is not None:
@@ -319,9 +377,11 @@ class PathfinderApp:
         wall = time.time() - t_start
         return {
             "frames": n,
+            "first_pair_frame": start_abs + (0 if resume_prev is not None else 1),
             "wall_s": wall,
             "fps": n / max(wall, 1e-9),
             "mean_danger_points": float(np.mean(danger_counts)) if danger_counts else 0.0,
+            "danger_counts": danger_counts,
         }
 
     def _handle_key(self, key: int) -> bool:
@@ -381,12 +441,19 @@ def main(argv: list[str] | None = None) -> None:
         help="headless chunked pipeline: frame-pairs per device dispatch "
         "(one lax.scan per chunk; decode/compute/fetch overlap)",
     )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="checkpoint file: resumes from it if present; saves "
+        "atomically at chunk boundaries (chunked pipeline only)",
+    )
     args = p.parse_args(argv)
     cfg = PathfinderConfig(
         video=args.video,
         start_frame=args.start_frame,
         max_frames=args.max_frames,
         step=args.step,
+        checkpoint_path=args.checkpoint,
         lk=LKParams()
         if args.exact
         else LKParams(grid_step=args.step, use_pallas=True, compute_err=False),
@@ -400,6 +467,7 @@ def main(argv: list[str] | None = None) -> None:
         stats = app.run(
             headless=not args.interactive, out_path=args.out, render=not args.no_render
         )
+    stats.pop("danger_counts", None)
     print(stats)
 
 

@@ -31,6 +31,14 @@ class TrackerAppConfig:
     max_frames: int | None = None
     h_fov_deg: float = 155.0
     estimate_pose: bool = True
+    #: true checkpoint/resume: saves (frame count, previous gray frame,
+    #: full TrackerState) atomically every checkpoint_every frames and
+    #: resumes from the file if present. Unlike the reference's
+    #: start_frame seek (SparseOF.py:17-18 — trajectories restart empty),
+    #: the resumed run keeps every live trajectory and is numerically
+    #: identical to an uninterrupted one (tests/test_apps.py).
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 50
 
 
 class TrackerApp:
@@ -43,12 +51,29 @@ class TrackerApp:
     def run(self, headless: bool = True, out_path: str | None = None) -> dict:
         import cv2
 
+        import os
+
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
         cfg = self.cfg
         reader = self.reader
-        if cfg.start_frame:
-            reader.seek(cfg.start_frame)
         state = init_tracker(cfg.params)
         prev_gray = None
+        n_done = 0  # frames already processed (restored on resume)
+        h, w = reader.height, reader.width
+        if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+            saved = load_checkpoint(
+                cfg.checkpoint_path,
+                {
+                    "n_done": np.int64(0),
+                    "prev_gray": np.zeros((h, w), np.float32),
+                    "tracker": state,
+                },
+            )
+            n_done = int(saved["n_done"])
+            prev_gray = np.asarray(saved["prev_gray"])
+            state = saved["tracker"]
+        reader.seek(cfg.start_frame + n_done)
         writer = None
         if out_path:
             writer = cv2.VideoWriter(
@@ -57,7 +82,9 @@ class TrackerApp:
                 reader.fps or 25.0,
                 (reader.width, reader.height),
             )
-        n = 0
+        n = n_done
+        done_this_run = 0
+        since_save = 0
         poses = []
         t0 = time.time()
         prev_heads = None
@@ -105,13 +132,25 @@ class TrackerApp:
                 if cv2.waitKey(10) & 0xFF == ord("q"):
                     break
             n += 1
+            done_this_run += 1
+            since_save += 1
+            if cfg.checkpoint_path and since_save >= cfg.checkpoint_every:
+                save_checkpoint(
+                    cfg.checkpoint_path,
+                    n_done=np.int64(n),
+                    prev_gray=np.asarray(prev_gray, np.float32),
+                    tracker=jax.device_get(state),
+                )
+                since_save = 0
         if writer:
             writer.release()
         wall = time.time() - t0
         return {
             "frames": n,
-            "fps": n / max(wall, 1e-9),
+            "frames_this_run": done_this_run,
+            "fps": done_this_run / max(wall, 1e-9),
             "final_tracks": int(np.asarray(state.alive).sum()),
+            "final_heads": np.asarray(_heads(state))[np.asarray(state.alive)],
             "poses": poses,
         }
 
@@ -128,6 +167,7 @@ def main(argv=None):
     cfg = TrackerAppConfig(video=args.video, max_frames=args.max_frames)
     stats = TrackerApp(cfg).run(headless=not args.interactive, out_path=args.out)
     stats.pop("poses", None)
+    stats.pop("final_heads", None)
     print(stats)
 
 
