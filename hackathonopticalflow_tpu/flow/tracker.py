@@ -25,7 +25,7 @@ from jax import lax
 
 from ..core.config import TrackerParams
 from ..ops.features import good_features_to_track
-from ..ops.lk import pyr_lk
+from ..ops.lk import prepare_frame, pyr_lk_prepared
 
 
 class TrackerState(NamedTuple):
@@ -127,11 +127,21 @@ def track_video(
     if state is None:
         state = init_tracker(params)
 
-    def step(s, i):
-        s2 = track_step(s, frames[i - 1], frames[i], params)
-        return s2, (_heads(s2), s2.alive, s2.length)
+    # carry each frame's prepared pyramid through the scan: the naive
+    # per-step form prepared every 1080p frame FOUR times (both pyr_lk
+    # calls prep both arguments) — at <=64 tracked points the pyramid/
+    # Scharr/pad work dominates the whole step (BASELINE.md round 4)
+    prep0 = prepare_frame(frames[0].astype(jnp.float32), params.lk)
 
-    return lax.scan(step, state, jnp.arange(1, frames.shape[0]))
+    def step(carry, img):
+        s, prev_prep = carry
+        img = img.astype(jnp.float32)
+        cur_prep = prepare_frame(img, params.lk)
+        s2 = track_step_prepared(s, prev_prep, cur_prep, img, params)
+        return (s2, cur_prep), (_heads(s2), s2.alive, s2.length)
+
+    (state, _), hist = lax.scan(step, (state, prep0), frames[1:])
+    return state, hist
 
 
 def track_step(
@@ -141,12 +151,30 @@ def track_step(
     params: TrackerParams = TrackerParams(),
 ) -> TrackerState:
     """One frame of tracking: forward-backward LK + gated append +
-    periodic re-detection. Fully jittable."""
+    periodic re-detection. Fully jittable. Each frame's pyramid is
+    prepared once and shared by the forward and backward LK calls."""
+    prev_gray = prev_gray.astype(jnp.float32)
+    gray = gray.astype(jnp.float32)
+    prev_prep = prepare_frame(prev_gray, params.lk)
+    cur_prep = prepare_frame(gray, params.lk)
+    return track_step_prepared(state, prev_prep, cur_prep, gray, params)
+
+
+def track_step_prepared(
+    state: TrackerState,
+    prev_prep,
+    cur_prep,
+    gray: jnp.ndarray,
+    params: TrackerParams = TrackerParams(),
+) -> TrackerState:
+    """track_step over frames prepared with ops.lk.prepare_frame — the
+    form track_video's scan uses so each frame is prepared once per
+    CLIP, not four times per step."""
     h, w = gray.shape
     heads = _heads(state)
 
-    p1 = pyr_lk(prev_gray, gray, heads, params.lk).next_pts
-    p0r = pyr_lk(gray, prev_gray, p1, params.lk).next_pts
+    p1 = pyr_lk_prepared(prev_prep, cur_prep, heads, params.lk).next_pts
+    p0r = pyr_lk_prepared(cur_prep, prev_prep, p1, params.lk).next_pts
     d = jnp.max(jnp.abs(heads - p0r), axis=-1)
     keep = state.alive & (d < params.fb_max_dist)
     state = _append(state, p1, keep)

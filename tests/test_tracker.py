@@ -170,4 +170,11 @@ def test_collect_tracks_chunked_matches_serial():
     t_big = collect_tracks(frames, params, chunk=64)
     assert np.array_equal(t_small.alive, t_big.alive)
     assert np.array_equal(t_small.birth, t_big.birth)
-    assert np.array_equal(t_small.pos[t_small.alive], t_big.pos[t_big.alive])
+    # positions: round 4's prepared-pyramid carry (flow/tracker.py
+    # track_video) computes a chunk's FIRST prep outside the scan body;
+    # XLA fuses that graph differently, so chunk-boundary frames can
+    # differ by float-rounding noise (measured 7.6e-6 px on 2/494
+    # values). Identity holds to far below tracking accuracy.
+    assert np.allclose(
+        t_small.pos[t_small.alive], t_big.pos[t_big.alive], atol=1e-4
+    )
