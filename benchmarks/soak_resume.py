@@ -147,6 +147,8 @@ def main() -> int:
     ap.add_argument("--segment", action="store_true")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--out", default="/tmp/soak_segments.jsonl")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="reuse an existing /tmp/soak_ref.jsonl")
     args = ap.parse_args()
     if args.segment:
         segment(args)
@@ -165,12 +167,16 @@ def main() -> int:
 
     # 1. uninterrupted reference pass
     ref_out = "/tmp/soak_ref.jsonl"
-    for p in (ref_out, "/tmp/soak_segments.jsonl", "/tmp/soak.ckpt.npz"):
+    skip = args.skip_ref and os.path.exists(ref_out)
+    for p in ([] if skip else [ref_out]) + [
+        "/tmp/soak_segments.jsonl", "/tmp/soak.ckpt.npz"
+    ]:
         if os.path.exists(p):
             os.unlink(p)
-    log("=== reference pass (uninterrupted) ===")
     t0 = time.time()
-    subprocess.run(base_cmd + ["--out", ref_out], check=True, cwd=REPO)
+    if not skip:
+        log("=== reference pass (uninterrupted) ===")
+        subprocess.run(base_cmd + ["--out", ref_out], check=True, cwd=REPO)
     ref_wall = time.time() - t0
     ref = overlay(ref_out, n_pairs)
     assert all(v is not None for v in ref[1 : n_pairs + 1]), "ref gaps"

@@ -87,6 +87,16 @@ class LKParams:
     #: sparse 1080p vs 56-63 for 'blocked') or 'blocked'
     #: (ops/lk_pallas2.py — window x on lanes, 46/128 live).
     grid_kernel: str = "lanes"
+    #: lanes kernel: x4 u8-in-int32 PACKED alignment ladders
+    #: (lk_iterate_grid_lanes_packed) at the TOP pyramid level, whose
+    #: 7-bit ladder over its (110, 112) crop was 66% of that level's
+    #: per-iteration cost (round-4 measurement; 8.65 -> 8.2 ms/pair).
+    #: The lower levels stay unpacked: their rolls are hidden under the
+    #: blend/reduce work and the byte-plane unpack only added cost
+    #: (measured 9.9 ms/pair all-packed). Packing is numerically exact
+    #: (u8 pixels round-trip int32 words); only f32 summation order
+    #: differs (<=0.04 px, status bits identical).
+    lanes_packed: bool = True
 
     @property
     def win_area(self) -> int:

@@ -321,6 +321,11 @@ def extract_grid_templates_lanes(
     form is transpose-free; the (N -> lane-minor) move is one fused
     relayout of ~N*win_h*WWP i16, ~30 MB at 1080p level 0)."""
     wwp = -(-win_w // 8) * 8
+    # NOTE (round 4, measured): padding columns straight to WWP=48 here
+    # (lane=wwp) to save the 128-lane pad's extra HBM bytes made the
+    # extraction SLOWER (L0 0.63 -> 0.73 ms) — the 48-lane minor dim
+    # runs at a fraction of HBM efficiency, exactly the blocked
+    # builder's >=2048-lane design rule. Keep 128 and slice.
     t = extract_grid_templates_blocked(
         planes, xs, ys, level, win_w, win_h, pad
     )  # (C, N, win_h, 128) i16, cols >= win_w zero

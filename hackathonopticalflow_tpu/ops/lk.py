@@ -351,16 +351,32 @@ def _level_lk_static_grid(
             np.meshgrid(bx, by, indexing="ij"), -1
         ).reshape(-1, 2)
         pad_cols = np_pad - n
-        next_tl, status_p = lk_iterate_grid_lanes(
-            tmpl, slabs, jnp.asarray(base),
-            jnp.pad(next_tl0, ((0, pad_cols), (0, 0))),
-            jnp.pad(status.astype(jnp.float32), (0, pad_cols)),
+        common = dict(
             win_w=win_w, win_h=win_h, m_iter=m_iter,
             level_w=w, level_h=h, max_iters=params.max_iters,
             eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
             min_eig_threshold=params.min_eig_threshold,
             early_exit=params.early_exit,
         )
+        tl0_p = jnp.pad(next_tl0, ((0, pad_cols), (0, 0)))
+        st_p = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
+        if params.lanes_packed and level == params.max_level:
+            from .lk_pallas3 import lk_iterate_grid_lanes_packed
+
+            # packed-ladder kernel, TOP level only (round 4): the top
+            # level's 7-bit ladder dominates its iteration cost and
+            # packing cuts it ~4x (8.65 -> 8.2 ms/pair measured). The
+            # lower levels' rolls are already hidden under their
+            # blend/reduce work — routing them through the packed path
+            # ADDED the byte-plane unpack cost for nothing (9.9 ms/pair
+            # measured; do not re-litigate).
+            next_tl, status_p = lk_iterate_grid_lanes_packed(
+                tmpl, slabs, tl0_p, st_p, **common
+            )
+        else:
+            next_tl, status_p = lk_iterate_grid_lanes(
+                tmpl, slabs, jnp.asarray(base), tl0_p, st_p, **common
+            )
         next_tl = next_tl[:n]
         status = status_p[:n]
         if level == 0 and params.compute_err:
