@@ -102,19 +102,18 @@ def segment(args) -> None:
         checkpoint_every=96,
         lk=LKParams(grid_step=30, use_pallas=True, compute_err=False),
     )
-    stats = PathfinderApp(cfg).run_batched(chunk=24, render=False)
-    with open(args.out, "a") as f:
-        f.write(
-            json.dumps(
-                {
-                    "first": stats["first_pair_frame"],
-                    "danger": stats["danger_counts"],
-                    "fps": stats["fps"],
-                    "wall": stats["wall_s"],
-                }
-            )
-            + "\n"
-        )
+    def on_chunk(first, danger):
+        # STREAM chunk outputs: a SIGKILLed segment has already
+        # exported everything it consumed (end-of-run-only logging left
+        # killed segments' work unrecorded — measured gap, round 4)
+        with open(args.out, "a") as f:
+            f.write(json.dumps({"first": int(first), "danger": danger}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    stats = PathfinderApp(cfg).run_batched(
+        chunk=24, render=False, on_chunk=on_chunk
+    )
     log(
         f"segment done: first={stats['first_pair_frame']} "
         f"frames={stats['frames']} fps={stats['fps']:.2f}"
@@ -168,9 +167,13 @@ def main() -> int:
     # 1. uninterrupted reference pass
     ref_out = "/tmp/soak_ref.jsonl"
     skip = args.skip_ref and os.path.exists(ref_out)
-    for p in ([] if skip else [ref_out]) + [
-        "/tmp/soak_segments.jsonl", "/tmp/soak.ckpt.npz"
-    ]:
+    # with --skip-ref, accumulated soak segments + the checkpoint are
+    # kept as well (the harness itself may be restarted; overlay()
+    # handles overlaps) — a fresh run wipes everything
+    for p in (
+        [] if skip
+        else [ref_out, "/tmp/soak_segments.jsonl", "/tmp/soak.ckpt.npz"]
+    ):
         if os.path.exists(p):
             os.unlink(p)
     t0 = time.time()

@@ -225,6 +225,7 @@ class PathfinderApp:
         chunk: int = 24,
         out_path: str | None = None,
         render: bool = False,
+        on_chunk=None,
     ) -> dict:
         """Headless chunked pipeline — the config-3 end-to-end path.
 
@@ -319,6 +320,15 @@ class PathfinderApp:
             nonlocal n, since_save
             res, bgrs, count, last_gray, abs_end = p
             host = unpack_grid_result(np.asarray(res), pts_i)  # blocks here
+            if on_chunk is not None:
+                # streaming consumers (e.g. the soak harness) get each
+                # chunk's outputs the moment they are consumed — a run
+                # killed mid-clip has already exported everything up to
+                # its last consumed chunk
+                on_chunk(
+                    abs_end - count,
+                    [int(host.good[i].sum()) for i in range(count)],
+                )
             for i in range(count):
                 danger_counts.append(int(host.good[i].sum()))
                 n += 1
