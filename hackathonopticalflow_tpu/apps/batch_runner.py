@@ -174,76 +174,74 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
 
 def run_batch_staged(cfg: BatchRunnerConfig, reps: int = 3) -> dict:
     """Config-4 COMPUTE-PATH companion (VERDICT r3 weak #3): all frames
-    staged on device once, then one jitted lax.scan over the steps with
-    the same lax.map'd per-pair pipeline as the streaming path — the
-    4-stream aggregate without the relay's degraded H2D wall, i.e. what
-    a production host (PCIe-class transfers) would stream. Steady-state
-    time over `reps` scans; per-stream liveness masks handle unequal
-    clip lengths exactly like the streaming path's failure isolation."""
-    b = len(cfg.videos)
+    staged on device once, then device-resident chunked scans
+    (flow/lk_grid.py lk_grid_flow_video at ONE compiled chunk shape,
+    chunks overlapping by one frame) — the 4-stream aggregate without
+    the relay's degraded H2D wall, i.e. what a production host
+    (PCIe-class transfers) would stream. Streams run sequentially:
+    they time-multiplex the chip's single core either way (the r3
+    streaming path's lax.map observation), and the flat per-stream
+    chunk loop avoids the scan-over-map nesting that pushed the lanes
+    kernel 72 KB over the 16 MB scoped-VMEM stack (measured round 4).
+    Steady-state time over `reps` passes; per-stream danger sequences
+    come out identical to the streaming path (tests/test_apps.py)."""
+    from ..flow.lk_grid import lk_grid_flow_video
+
+    chunk = 24
     frames = []
     for v in cfg.videos:
         pre = FramePrefetcher(v, max_frames=cfg.max_frames, to_device=False)
         frames.append(np.stack(list(pre)))
     h, w = frames[0].shape[1:]
-    t_max = max(f.shape[0] for f in frames)
-    alive = np.zeros((t_max - 1, b), bool)
-    stack = np.zeros((b, t_max, h, w), np.uint8)
-    for i, f in enumerate(frames):
-        stack[i, : f.shape[0]] = f
-        stack[i, f.shape[0] :] = f[-1]  # pad: masked out below
-        alive[: f.shape[0] - 1, i] = True
-
     pts = jnp.asarray(measurement_grid(h, w, cfg.step))
-    pair_fn = lambda a, bb: lk_grid_flow(
-        a, bb, pts, lk=cfg.lk, norm=cfg.norm, filt=cfg.filt
-    )
 
     @jax.jit
-    def scan_all(fr, alive_mask):
-        # fr: (B, T, H, W) u8; one scan step = all B streams' pair
-        def step(prev, inp):
-            cur, al = inp
-            # u8 end to end, f32 cast inside the step: staging the clip
-            # stack in f32 (or slicing it twice for prev/cur) would 4-8x
-            # the HBM footprint (2.5 GB u8 for the full corpus)
-            res = jax.lax.map(
-                lambda ab: pair_fn(
-                    ab[0].astype(jnp.float32), ab[1].astype(jnp.float32)
-                ),
-                (prev, cur),
-            )
-            counts = jnp.sum(res.good, axis=1) * al
-            return cur, counts
+    def scan_chunk(fr):
+        res = lk_grid_flow_video(
+            fr.astype(jnp.float32), pts,
+            lk=cfg.lk, norm=cfg.norm, filt=cfg.filt,
+        )
+        return jnp.sum(res.good, axis=1)  # (chunk,) per-pair counts
 
-        ft = jnp.swapaxes(fr, 0, 1)  # (T, B, H, W) u8
-        _, counts = jax.lax.scan(step, ft[0], (ft[1:], alive_mask))
-        return counts  # (T-1, B)
+    # stage every stream on device once (u8)
+    dev_streams = [jax.device_put(jnp.asarray(f)) for f in frames]
+    # pad tail chunks by repeating the last frame (results masked off)
+    def run_once():
+        counts = []
+        for f in dev_streams:
+            t = f.shape[0]
+            out = []
+            start = 0
+            while start + 1 < t:
+                stop = min(start + chunk + 1, t)
+                piece = f[start:stop]
+                valid = piece.shape[0] - 1
+                if valid < chunk:
+                    piece = jnp.concatenate(
+                        [piece] + [piece[-1:]] * (chunk - valid)
+                    )
+                out.append(np.asarray(scan_chunk(piece))[:valid])
+                start = stop - 1
+            counts.append(np.concatenate(out))
+        return counts
 
-    dev = jax.device_put(jnp.asarray(stack))
-    al = jax.device_put(jnp.asarray(alive, jnp.int32))
     t0 = time.time()
-    counts = np.asarray(scan_all(dev, al))
+    counts = run_once()
     compile_s = time.time() - t0
     best = 1e9
     for _ in range(reps):
         t0 = time.time()
-        counts = np.asarray(scan_all(dev, al))
+        counts = run_once()
         best = min(best, time.time() - t0)
-    total_frames = int(alive.sum())
+    total_frames = sum(len(c) for c in counts)
     return {
-        "streams": b,
-        "steps": t_max - 1,
+        "streams": len(frames),
         "total_frames": total_frames,
         "wall_s": best,
         "compile_s": compile_s,
         "aggregate_fps": total_frames / max(best, 1e-9),
-        "mean_danger_per_stream": [
-            float(counts[alive[:, i], i].mean()) for i in range(b)
-        ],
-        "danger_counts": [
-            counts[alive[:, i], i].astype(int).tolist() for i in range(b)
-        ],
+        "mean_danger_per_stream": [float(c.mean()) for c in counts],
+        "danger_counts": [c.astype(int).tolist() for c in counts],
     }
 
 

@@ -103,8 +103,16 @@ class LKParams:
         return self.win_size[0] * self.win_size[1]
 
 
-#: Tracker-flavoured LK (reference SparseOF.py:6-8).
-TRACKER_LK = LKParams(win_size=(15, 15), max_level=2, max_iters=10, eps=0.03)
+#: Tracker-flavoured LK (reference SparseOF.py:6-8). The tracker's
+#: arbitrary (non-grid) points run the v1 per-point Pallas kernel
+#: (ops/lk_pallas.py, slab margin 8): at the tracker's <=256-point
+#: workloads the exact XLA path's per-iteration window slices dominated
+#: the whole step — 57 -> 161 fps tracker scan at 1080p (round 4;
+#: matches the exact path to ~1e-3 px, golden-tested).
+TRACKER_LK = LKParams(
+    win_size=(15, 15), max_level=2, max_iters=10, eps=0.03,
+    use_pallas=True, slab_margin=8,
+)
 
 
 @dataclasses.dataclass(frozen=True)

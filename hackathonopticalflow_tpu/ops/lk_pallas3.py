@@ -177,9 +177,13 @@ def lk_iterate_grid_lanes(
             crop = (slab_r[0].astype(jnp.int16) + jnp.int16(SLAB_BIAS))
         else:
             # y-ladder (cyclic over Ry), chunked along x; intermediates
-            # persist as exact int16 pixel values
+            # persist as exact int16 pixel values. Chunk target 24 (was
+            # 32): at 32 the f32 transients put the whole kernel at
+            # 15.99 MB of scoped VMEM and any extra program context
+            # (a 48-pair scan, the staged runner's outer scan) tipped
+            # it 72 KB over the 16 MB stack (measured round 4).
             ypieces = []
-            for off, size in _chunks(rx, 32):
+            for off, size in _chunks(rx, 24):
                 x = deb(slab_r[0, :, off : off + size, :])
                 for t in a_bits_y:
                     x = jnp.where(
