@@ -61,11 +61,16 @@ def main():
 
         epes, agrees, fr_div = [], [], []
         for i in range(n_pairs):
-            # device scan runs reversed clip: step j tracks frame[n-1-j]
-            # into frame[n-2-j]; pair i (cur=i+1 -> prev=i) is step n-2-i
+            # the device scan consumes the REVERSED clip with backward
+            # (current -> previous) semantics, so its step j tracks
+            # original frame t = n_pairs-1-j INTO frame t+1. The oracle
+            # must match that direction: track(i -> i+1). (The round-3
+            # version of this gate compared against track(i+1 -> i) —
+            # opposite direction, producing ~15-50 px "EPE" that was
+            # pure protocol error, not kernel error; round 4.)
             step = n_pairs - 1 - i
             ref_nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
-                frames[i + 1], frames[i], pts_np.reshape(-1, 1, 2), None,
+                frames[i], frames[i + 1], pts_np.reshape(-1, 1, 2), None,
                 winSize=(45, 45), maxLevel=2,
                 criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
             )
