@@ -296,11 +296,31 @@ def update_matrices_prewarped(
     )
 
 
-def update_flow_blur(m: jnp.ndarray, win_size: int) -> jnp.ndarray:
+def update_flow_blur(
+    m: jnp.ndarray, win_size: int, method: str = "doubling"
+) -> jnp.ndarray:
     """Solve for flow from box-averaged M (OpenCV FarnebackUpdateFlow_blur:
-    window sums scaled by 1/win^2, then the 1e-3-damped 2x2 Cramer solve)."""
-    ms = box_sum(m, win_size, mode="edge") * (1.0 / (win_size * win_size))
-    return _cramer_solve(ms)
+    window sums scaled by 1/win^2, then the 1e-3-damped 2x2 Cramer solve).
+
+    method='doubling': ops/image.box_sum (bit-faithful summation order;
+    the exact-parity golden path). method='cumsum': integral-image box —
+    2 cumsums + 2 subtractions instead of ~12 slice-add passes; measured
+    3x faster at 720p on TPU (0.295 vs 0.868 ms, round 4) because the
+    doubling chain's intermediates are HBM-bound. Running-sum f32
+    rounding adds ~1e-6 relative noise to the window sums — used by the
+    TPU (pallas-warp) fast path, whose EPE budget is ~6e-3 px anyway."""
+    if method == "cumsum":
+        r = win_size // 2
+        p = jnp.pad(
+            m, ((0, 0), (r + 1, r), (r + 1, r)), mode="edge"
+        )
+        c = jnp.cumsum(p, axis=-2)
+        srow = c[:, win_size:, :] - c[:, :-win_size, :]
+        c2 = jnp.cumsum(srow, axis=-1)
+        ms = c2[:, :, win_size:] - c2[:, :, :-win_size]
+    else:
+        ms = box_sum(m, win_size, mode="edge")
+    return _cramer_solve(ms * (1.0 / (win_size * win_size)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -387,7 +407,14 @@ def _init_top_flow(flow0, hk: int, wk: int, scale: float) -> jnp.ndarray:
 def _solve_flow(m: jnp.ndarray, params: FarnebackParams) -> jnp.ndarray:
     if params.gaussian_win:
         return update_flow_gaussian(m, params.win_size)
-    return update_flow_blur(m, params.win_size)
+    # the Pallas-warp fast path takes the integral-image box (3x faster
+    # on TPU); the exact golden path keeps the bit-faithful doubling sum
+    method = (
+        "cumsum"
+        if params.warp_mode in ("pallas", "pallas_bf16")
+        else "doubling"
+    )
+    return update_flow_blur(m, params.win_size, method=method)
 
 
 def farneback_prepared(
