@@ -74,7 +74,14 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
             },
         )
         log.info("resuming at step %d", int(resume["n_steps"]))
-    start = 0 if resume is None else int(resume["n_steps"]) + 1
+    # Invariant (kept across ANY number of resumes): after each step,
+    # `prev` holds frame index n_steps, and a checkpoint records exactly
+    # that pair. On resume we therefore restart the counter AT the saved
+    # n_steps (prev = frame n_steps) and decode from frame n_steps + 1;
+    # restarting the counter one higher would shift every subsequent
+    # checkpoint and make a second resume skip a frame (advisor r4).
+    n_steps0 = 0 if resume is None else int(resume["n_steps"])
+    start = 0 if resume is None else n_steps0 + 1  # first frame to decode
     remaining = None if cfg.max_frames is None else cfg.max_frames - start
     prefetchers = [
         FramePrefetcher(
@@ -115,7 +122,7 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
     prev = np.stack(first).astype(np.float32)
     alive = alive0
     danger_counts = [[] for _ in range(b)]
-    n_steps = start
+    n_steps = n_steps0
     since_save = 0
     # compile outside the clock (methodology shared with bench.py /
     # run_batched: the recorded number is steady-state throughput), and
@@ -160,7 +167,7 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
     return {
         "streams": b,
         "devices": n_dev,
-        "steps": n_steps - start,
+        "steps": n_steps - n_steps0,
         "first_step": start,
         "total_frames": total_frames,
         "wall_s": wall,
@@ -222,7 +229,11 @@ def run_batch_staged(cfg: BatchRunnerConfig, reps: int = 3) -> dict:
                     )
                 out.append(np.asarray(scan_chunk(piece))[:valid])
                 start = stop - 1
-            counts.append(np.concatenate(out))
+            # a <2-frame stream yields no chunks; report it as an empty
+            # count sequence (streaming path masks such streams the same)
+            counts.append(
+                np.concatenate(out) if out else np.zeros(0, np.int32)
+            )
         return counts
 
     t0 = time.time()
@@ -240,7 +251,9 @@ def run_batch_staged(cfg: BatchRunnerConfig, reps: int = 3) -> dict:
         "wall_s": best,
         "compile_s": compile_s,
         "aggregate_fps": total_frames / max(best, 1e-9),
-        "mean_danger_per_stream": [float(c.mean()) for c in counts],
+        "mean_danger_per_stream": [
+            float(c.mean()) if len(c) else 0.0 for c in counts
+        ],
         "danger_counts": [c.astype(int).tolist() for c in counts],
     }
 

@@ -23,6 +23,39 @@ from ..viz.draw import put_text
 from ..viz.layers import draw_tracks
 
 
+def _pack_poses(poses: list[dict]) -> dict:
+    """Pack the variable-length pose list into a fixed-structure dict of
+    stacked arrays so the checkpoint treedef is length-independent."""
+    n = len(poses)
+    return {
+        "frame": np.array([p["frame"] for p in poses], np.int64),
+        "R": (
+            np.stack([p["R"] for p in poses]).astype(np.float32)
+            if n
+            else np.zeros((0, 3, 3), np.float32)
+        ),
+        "t": (
+            np.stack([p["t"] for p in poses]).astype(np.float32)
+            if n
+            else np.zeros((0, 3), np.float32)
+        ),
+        "inliers": np.array([p["inliers"] for p in poses], np.int64),
+    }
+
+
+def _unpack_poses(packed: dict) -> list[dict]:
+    frames = np.asarray(packed["frame"])
+    return [
+        {
+            "frame": int(frames[i]),
+            "R": np.asarray(packed["R"][i]),
+            "t": np.asarray(packed["t"][i]),
+            "inliers": int(np.asarray(packed["inliers"][i])),
+        }
+        for i in range(len(frames))
+    ]
+
+
 @dataclasses.dataclass
 class TrackerAppConfig:
     video: str
@@ -60,6 +93,7 @@ class TrackerApp:
         state = init_tracker(cfg.params)
         prev_gray = None
         n_done = 0  # frames already processed (restored on resume)
+        poses = []
         h, w = reader.height, reader.width
         if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
             saved = load_checkpoint(
@@ -68,11 +102,15 @@ class TrackerApp:
                     "n_done": np.int64(0),
                     "prev_gray": np.zeros((h, w), np.float32),
                     "tracker": state,
+                    "poses": _pack_poses([]),
                 },
             )
             n_done = int(saved["n_done"])
             prev_gray = np.asarray(saved["prev_gray"])
             state = saved["tracker"]
+            # poses ride the checkpoint too, so the returned pose list is
+            # identical to an uninterrupted run's (advisor r4)
+            poses = _unpack_poses(saved["poses"])
         reader.seek(cfg.start_frame + n_done)
         writer = None
         if out_path:
@@ -85,7 +123,6 @@ class TrackerApp:
         n = n_done
         done_this_run = 0
         since_save = 0
-        poses = []
         t0 = time.time()
         prev_heads = None
         prev_alive = None
@@ -140,6 +177,7 @@ class TrackerApp:
                     n_done=np.int64(n),
                     prev_gray=np.asarray(prev_gray, np.float32),
                     tracker=jax.device_get(state),
+                    poses=_pack_poses(poses),
                 )
                 since_save = 0
         if writer:

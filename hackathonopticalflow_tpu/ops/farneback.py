@@ -310,6 +310,12 @@ def update_flow_blur(
     rounding adds ~1e-6 relative noise to the window sums — used by the
     TPU (pallas-warp) fast path, whose EPE budget is ~6e-3 px anyway."""
     if method == "cumsum":
+        # the (r+1, r) pad below is only shape-correct for odd windows;
+        # an even win_size would silently emit one extra row/col per axis
+        if win_size % 2 != 1:
+            raise ValueError(
+                f"cumsum box requires odd win_size, got {win_size}"
+            )
         r = win_size // 2
         p = jnp.pad(
             m, ((0, 0), (r + 1, r), (r + 1, r)), mode="edge"

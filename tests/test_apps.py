@@ -193,3 +193,56 @@ def test_batch_runner_checkpoint_resume(tmp_path):
     for i in range(2):
         assert part1["danger_counts"][i] == full["danger_counts"][i][:3]
         assert part2["danger_counts"][i] == full["danger_counts"][i][2:]
+
+
+def _make_wander_clip(path: str, n: int, h: int = 128, w: int = 192) -> None:
+    """Clip whose per-frame shift varies (pseudo-random walk), so each
+    pair's flow — and hence its danger count — is step-distinguishable."""
+    rng = np.random.RandomState(7)
+    pad = 2 * n + 8
+    base = rng.uniform(40, 220, (h + pad, w + pad)).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (5, 5), 1.5)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (w, h))
+    assert vw.isOpened()
+    y, x = 4, 4
+    for t in range(n):
+        g = base[y : y + h, x : x + w]
+        vw.write(cv2.cvtColor(g, cv2.COLOR_GRAY2BGR))
+        y += int(rng.randint(0, 3))
+        x += int(rng.randint(0, 3))
+    vw.release()
+
+
+def test_batch_runner_double_resume(tmp_path):
+    """Crash after a RESUME (the normal soak scenario): checkpoints
+    written by a resumed run must keep the n_steps == prev-frame-index
+    invariant, so a second resume neither skips nor repeats a frame
+    (advisor r4 high-severity finding)."""
+    from hackathonopticalflow_tpu.apps.batch_runner import (
+        BatchRunnerConfig,
+        run_batch,
+    )
+
+    clips = []
+    for i in range(2):
+        c = str(tmp_path / f"clip{i}.mp4")
+        _make_wander_clip(c, n=12)
+        clips.append(c)
+    full = run_batch(BatchRunnerConfig(videos=clips, max_frames=11))
+    # step-distinguishable counts: the invariant check below is only
+    # meaningful if adjacent steps differ
+    assert any(len(set(c)) > 1 for c in full["danger_counts"])
+    ck = str(tmp_path / "br2.ckpt.npz")
+    kw = dict(videos=clips, checkpoint_path=ck, checkpoint_every=2)
+    part1 = run_batch(BatchRunnerConfig(max_frames=4, **kw))
+    part2 = run_batch(BatchRunnerConfig(max_frames=7, **kw))  # 1st resume
+    part3 = run_batch(BatchRunnerConfig(max_frames=11, **kw))  # 2nd resume
+    assert part2["first_step"] == 3
+    # part2's last checkpoint records n_steps=6 with prev=frame 6, so the
+    # second resume must decode from frame 7 and re-pair (6, 7) — the
+    # pre-fix code skipped frame 7 here
+    assert part3["first_step"] == 7
+    for i in range(2):
+        assert part1["danger_counts"][i] == full["danger_counts"][i][:3]
+        assert part2["danger_counts"][i] == full["danger_counts"][i][2:6]
+        assert part3["danger_counts"][i] == full["danger_counts"][i][6:10]
