@@ -25,6 +25,8 @@ def log(*a):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     import cv2
 
     from hackathonopticalflow_tpu.core.config import LKParams
@@ -40,7 +42,7 @@ def main():
     @jax.jit
     def run_all(fr):
         res = lk_grid_flow_video(fr[::-1].astype(jnp.float32), pts, lk=lk)
-        return res.raw_next_pts, res.good
+        return res.raw_next_pts, res.good, res.status
 
     for path in sorted(glob.glob("/root/reference/videos/*.mp4")):
         cap = cv2.VideoCapture(path)
@@ -55,11 +57,13 @@ def main():
         if len(frames) < n_pairs + 1:
             continue
         frames = np.stack(frames)
-        nxt_d, good_d = run_all(jax.device_put(jnp.asarray(frames)))
+        nxt_d, good_d, st_d = run_all(jax.device_put(jnp.asarray(frames)))
         nxt_d = np.asarray(nxt_d)
         good_d = np.asarray(good_d)
+        st_d = np.asarray(st_d)
 
         epes, agrees, fr_div = [], [], []
+        epes_tracked, st_agrees = [], []
         for i in range(n_pairs):
             # the device scan consumes the REVERSED clip with backward
             # (current -> previous) semantics, so its step j tracks
@@ -69,15 +73,23 @@ def main():
             # opposite direction, producing ~15-50 px "EPE" that was
             # pure protocol error, not kernel error; round 4.)
             step = n_pairs - 1 - i
-            ref_nxt, _s, _e = cv2.calcOpticalFlowPyrLK(
+            ref_nxt, ref_st, _e = cv2.calcOpticalFlowPyrLK(
                 frames[i], frames[i + 1], pts_np.reshape(-1, 1, 2), None,
                 winSize=(45, 45), maxLevel=2,
                 criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
             )
             ref_nxt = ref_nxt.reshape(-1, 2)
+            ref_st = ref_st.reshape(-1).astype(bool)
             epe = np.linalg.norm(nxt_d[step] - ref_nxt, axis=-1)
             epes.append(epe)
             fr_div.append(np.mean(epe > 0.5))
+            # the raw EPE includes points BOTH trackers mark failed
+            # (status 0 — the endpoint is whatever the iteration wandered
+            # to, chaotic for cv2 and for us by construction); the
+            # status-aware rows isolate points both claim to have tracked
+            both = ref_st & st_d[step]
+            epes_tracked.append(epe[both])
+            st_agrees.append(np.mean(ref_st == st_d[step]))
 
             def mask(endpoints):
                 f = endpoints - pts_np
@@ -88,11 +100,15 @@ def main():
 
             agrees.append(np.mean(mask(nxt_d[step]) == mask(ref_nxt)))
         epe = np.concatenate(epes)
+        epe_t = np.concatenate(epes_tracked)
         log(
             f"{os.path.basename(path)[:28]:28s} epe med {np.median(epe):.1e} "
             f"p95 {np.percentile(epe, 95):.3f} p99 {np.percentile(epe, 99):.2f} "
             f"div>0.5px {np.mean(epe > 0.5) * 100:.2f}%  "
-            f"mask agree {np.mean(agrees) * 100:.2f}%"
+            f"mask agree {np.mean(agrees) * 100:.2f}%  | both-tracked "
+            f"div {np.mean(epe_t > 0.5) * 100:.2f}% "
+            f"p99 {np.percentile(epe_t, 99):.2f}  "
+            f"status agree {np.mean(st_agrees) * 100:.2f}%"
         )
 
 

@@ -97,6 +97,18 @@ class LKParams:
     #: (u8 pixels round-trip int32 words); only f32 summation order
     #: differs (<=0.04 px, status bits identical).
     lanes_packed: bool = True
+    #: static-grid lanes path: large-flow RESCUE pass at level 0. Points
+    #: whose coarse init falls outside the anchor-centered static slab
+    #: freeze there (the slab budgets above); on the violent corpus clips
+    #: that froze 25-29% of points >0.5 px from cv2 (round-4
+    #: quality_sparse). The rescue re-solves EVERY point against a slab
+    #: carved at its own coarse init (slab == iteration crop, the packed
+    #: top-level kernel geometry — ops/lk_pallas3.py) and the frozen
+    #: points take the rescue result. cv2 has no range limit
+    #: (pathfinder_viewer.py:154-158); this restores its unbounded-
+    #: displacement semantics at the cost of one extra L0 solve + a
+    #: per-point dynamic slab extraction.
+    rescue_large: bool = True
 
     @property
     def win_area(self) -> int:

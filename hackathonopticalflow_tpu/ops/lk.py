@@ -342,14 +342,6 @@ def _level_lk_static_grid(
         tmpl = extract_grid_templates_lanes(
             planes, xs, ys, level, win_w, win_h, pad, np_pad=np_pad
         )
-        slabs, bx, by = extract_grid_slabs_lanes(
-            next_prep.img_p[level], xs, ys, level, win_w, win_h,
-            margin_x_l, margin_y_l, pad, np_pad=np_pad,
-        )
-        base = np.zeros((np_pad, 2), np.int32)
-        base[:n] = np.stack(
-            np.meshgrid(bx, by, indexing="ij"), -1
-        ).reshape(-1, 2)
         pad_cols = np_pad - n
         common = dict(
             win_w=win_w, win_h=win_h, m_iter=m_iter,
@@ -358,25 +350,80 @@ def _level_lk_static_grid(
             min_eig_threshold=params.min_eig_threshold,
             early_exit=params.early_exit,
         )
-        tl0_p = jnp.pad(next_tl0, ((0, pad_cols), (0, 0)))
         st_p = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
-        if params.lanes_packed and level == params.max_level:
-            from .lk_pallas3 import lk_iterate_grid_lanes_packed
+        if level != params.max_level and params.rescue_large:
+            # Init-centered slabs at the levels below top (round 5;
+            # VERDICT r4 item 1). The anchor-centered static slab froze
+            # any point whose coarse init fell outside its budget
+            # (|flow_x| ~> 27, |flow_y| ~> 24 px per level scale — 42%/34%
+            # of points at level 0 on the violent corpus clips, measured
+            # benchmarks/analyze_flow_tail.py). Instead carve every
+            # point's slab at its own coarse init: slab == iteration crop
+            # (the top-level kernel geometry — phase A degenerates to a
+            # cast), so the only range limit left is the within-level
+            # drift budget (iter_margin), matching cv2's unbounded-
+            # displacement semantics (pathfinder_viewer.py:154-158).
+            # For points the static slab DID fit, the carved crop content
+            # is bit-identical to the old phase-A crop, so golden parity
+            # is unchanged. Cost: one slice-priced dynamic slice per
+            # point per level instead of the static strided carve.
+            from .patch import extract_slabs_rect
+            from .lk_pallas3 import SLAB_BIAS
 
-            # packed-ladder kernel, TOP level only (round 4): the top
-            # level's 7-bit ladder dominates its iteration cost and
-            # packing cuts it ~4x (8.65 -> 8.2 ms/pair measured). The
-            # lower levels' rolls are already hidden under their
-            # blend/reduce work — routing them through the packed path
-            # ADDED the byte-plane unpack cost for nothing (9.9 ms/pair
-            # measured; do not re-litigate).
-            next_tl, status_p = lk_iterate_grid_lanes_packed(
-                tmpl, slabs, tl0_p, st_p, **common
+            crop_y = win_h + 1 + 2 * m_iter
+            cxp = -(-(win_w + 1 + 2 * m_iter) // 8) * 8
+            # clamp wildly-out-of-frame inits just enough to keep the
+            # carve inside the padded plane; clamped points stay beyond
+            # the kernel's oob gate, so their status dies as cv2's would
+            tlc = jnp.stack(
+                [
+                    jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
+                    jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
+                ],
+                axis=-1,
+            )
+            sb = jnp.floor(tlc).astype(jnp.int32) - m_iter  # [x, y]
+            slabs_r = extract_slabs_rect(
+                next_prep.img_p[level], sb + pad, crop_y, cxp
+            )
+            s8 = (slabs_r - jnp.float32(SLAB_BIAS)).astype(jnp.int8)
+            if pad_cols:
+                s8 = jnp.pad(s8, ((0, pad_cols), (0, 0), (0, 0)))
+                sb = jnp.pad(sb, ((0, pad_cols), (0, 0)))
+                tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
+            s8 = jnp.transpose(
+                s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
+            )
+            next_tl, status_p = lk_iterate_grid_lanes(
+                tmpl, s8, sb, tlc, st_p, **common
             )
         else:
-            next_tl, status_p = lk_iterate_grid_lanes(
-                tmpl, slabs, jnp.asarray(base), tl0_p, st_p, **common
+            slabs, bx, by = extract_grid_slabs_lanes(
+                next_prep.img_p[level], xs, ys, level, win_w, win_h,
+                margin_x_l, margin_y_l, pad, np_pad=np_pad,
             )
+            base = np.zeros((np_pad, 2), np.int32)
+            base[:n] = np.stack(
+                np.meshgrid(bx, by, indexing="ij"), -1
+            ).reshape(-1, 2)
+            tl0_p = jnp.pad(next_tl0, ((0, pad_cols), (0, 0)))
+            if params.lanes_packed and level == params.max_level:
+                from .lk_pallas3 import lk_iterate_grid_lanes_packed
+
+                # packed-ladder kernel, TOP level only (round 4): the top
+                # level's 7-bit ladder dominates its iteration cost and
+                # packing cuts it ~4x (8.65 -> 8.2 ms/pair measured). The
+                # lower levels' rolls are already hidden under their
+                # blend/reduce work — routing them through the packed path
+                # ADDED the byte-plane unpack cost for nothing (9.9 ms/pair
+                # measured; do not re-litigate).
+                next_tl, status_p = lk_iterate_grid_lanes_packed(
+                    tmpl, slabs, tl0_p, st_p, **common
+                )
+            else:
+                next_tl, status_p = lk_iterate_grid_lanes(
+                    tmpl, slabs, jnp.asarray(base), tl0_p, st_p, **common
+                )
         next_tl = next_tl[:n]
         status = status_p[:n]
         if level == 0 and params.compute_err:

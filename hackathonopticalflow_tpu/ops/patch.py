@@ -98,6 +98,19 @@ def extract_slabs(img: jnp.ndarray, top_left_int: jnp.ndarray, size: int) -> jnp
     return jax.vmap(slice_one)(top_left_int)
 
 
+def extract_slabs_rect(
+    img: jnp.ndarray, top_left_int: jnp.ndarray, size_h: int, size_w: int
+) -> jnp.ndarray:
+    """extract_slabs with a rectangular (size_h, size_w) window — used by
+    the static-grid path's large-flow rescue pass (ops/lk.py), whose
+    slab IS the iteration crop (win + 1 + 2*iter_margin per axis)."""
+
+    def slice_one(p):
+        return lax.dynamic_slice(img, (p[1], p[0]), (size_h, size_w))
+
+    return jax.vmap(slice_one)(top_left_int)
+
+
 def select_windows(
     slabs: jnp.ndarray, offsets: jnp.ndarray, win_h: int, win_w: int, margin2: int
 ) -> jnp.ndarray:

@@ -165,6 +165,46 @@ def test_static_grid_vs_cv2_corpus(frame_pair_small, kernel):
     assert np.mean(mask(p) == mask(nxt)) >= 0.98
 
 
+def test_rescue_recovers_large_flow():
+    """Large-flow rescue (round 5): a uniform shift beyond the static
+    slab budget (|flow_x| > ~27 px at level 0) freezes every point
+    without the rescue pass; with it the lanes path must match the exact
+    XLA path (which has no envelope)."""
+    import dataclasses
+
+    rng = np.random.RandomState(2)
+    base = rng.uniform(0, 255, (360, 600)).astype(np.float32)
+    k = jnp.asarray([0.25, 0.5, 0.25])
+    from hackathonopticalflow_tpu.ops.image import sep_conv2d
+
+    sm = base
+    for _ in range(4):
+        sm = np.asarray(sep_conv2d(jnp.asarray(sm), k, k))
+    a = sm[40:310, 50:530]
+    b = sm[43:313, 90:570]  # true shift (+40, +3): beyond the L0 budget
+    pts, xs, ys = _grid_xy(270, 480)
+    exact = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), LKParams())
+    on = pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), STATIC)
+    off = pyr_lk(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+        dataclasses.replace(STATIC, rescue_large=False),
+    )
+    ok = np.asarray(exact.status)
+    d_on = np.linalg.norm(
+        np.asarray(on.next_pts) - np.asarray(exact.next_pts), axis=-1
+    )[ok]
+    # sanity: this shift really is beyond the static level-0 budget
+    # (|flow_x| ~> 27 px), so without the rescue every point would
+    # freeze at its coarse (level-1) estimate — which on clean synthetic
+    # translation is already accurate, so the off-path contrast is only
+    # measurable on real frames (see benchmarks/quality_sparse.py); the
+    # off-path here just exercises that the legacy extraction still runs
+    np.asarray(off.next_pts)
+    # with rescue the lanes path matches the exact path at full accuracy
+    assert np.median(d_on) < 0.05
+    assert np.mean(d_on > 0.5) < 0.02
+
+
 def test_static_grid_point_order():
     """Grid x-major point order must round-trip through the extractors."""
     h, w = 270, 480
