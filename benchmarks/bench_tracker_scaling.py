@@ -1,0 +1,129 @@
+"""Tracker scaling row (VERDICT r4 weak #4 / item 6): tracker scan fps
+at 1080p as the corner budget grows — 20 (the reference's SparseOF.py
+maxCorners), 128, 256, 512, 1024 — ours on TPU vs the literal cv2
+transcription on this host's CPU at the SAME corner counts.
+
+The reference workload (20 corners) leaves the chip idle; this table
+records where the TPU's advantage actually scales. Detection params are
+matched on both sides per count (quality_level relaxed to 0.05 above 20
+so the detector can actually produce the budget; minDistance 10 as in
+SparseOF.py:10-13).
+
+Run on TPU (one process). Rows to stderr.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench_tracker import load, log
+
+
+def cpu_tracker(frames, max_corners, quality, rounds=5) -> float:
+    import cv2
+
+    lk = dict(
+        winSize=(15, 15),
+        maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+    )
+    fp = dict(
+        maxCorners=max_corners, qualityLevel=quality, minDistance=10,
+        blockSize=7,
+    )
+    per_round = []
+    n_tracks = 0
+    for _ in range(rounds):
+        trajectories = []
+        t0 = time.perf_counter()
+        for idx in range(len(frames)):
+            if idx > 0 and trajectories:
+                img0, img1 = frames[idx - 1], frames[idx]
+                p0 = np.float32([t[-1] for t in trajectories]).reshape(-1, 1, 2)
+                p1, _s, _e = cv2.calcOpticalFlowPyrLK(img0, img1, p0, None, **lk)
+                p0r, _s, _e = cv2.calcOpticalFlowPyrLK(img1, img0, p1, None, **lk)
+                d = abs(p0 - p0r).reshape(-1, 2).max(-1)
+                good = d < 1
+                new_tr = []
+                for tr, (x, y), ok in zip(trajectories, p1.reshape(-1, 2), good):
+                    if not ok:
+                        continue
+                    tr.append((x, y))
+                    if len(tr) > 40:
+                        del tr[0]
+                    new_tr.append(tr)
+                trajectories = new_tr
+            if idx % 5 == 0:
+                mask = np.full_like(frames[idx], 255)
+                for x, y in [np.int32(t[-1]) for t in trajectories]:
+                    cv2.circle(mask, (x, y), 5, 0, -1)
+                p = cv2.goodFeaturesToTrack(frames[idx], mask=mask, **fp)
+                if p is not None:
+                    for x, y in np.float32(p).reshape(-1, 2):
+                        trajectories.append([(x, y)])
+        n_tracks = len(trajectories)
+        per_round.append(len(frames) / (time.perf_counter() - t0))
+    med = sorted(per_round)[len(per_round) // 2]
+    return med, n_tracks
+
+
+def main():
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.flow.tracker import (
+        init_tracker,
+        track_step,
+        track_video,
+    )
+
+    clip = "/root/reference/videos/Тёмный_коридор_колонны .mp4"
+    log(f"device {jax.devices()[0]}")
+    n = 48
+    host_frames = load(clip, n + 1)
+    frames = jax.device_put(jnp.asarray(host_frames, jnp.float32))
+
+    for corners in (20, 128, 256, 512, 1024):
+        quality = 0.3 if corners == 20 else 0.05
+        params = TrackerParams(
+            lk=LKParams(win_size=(15, 15), use_pallas=True, slab_margin=8),
+            max_tracks=max(32, corners),
+            features=FeatureParams(
+                max_corners=corners, quality_level=quality,
+                max_candidates=max(128, 2 * corners),
+            ),
+        )
+        step = jax.jit(lambda s, a, b, p=params: track_step(s, a, b, p))
+        scan = jax.jit(lambda fr, s, p=params: track_video(fr, p, s))
+        state0 = step(init_tracker(params), frames[0], frames[0])
+        t0 = time.perf_counter()
+        s, (hs, al, ln) = scan(frames, state0)
+        live = int(np.asarray(al)[-1].sum())
+        log(f"corners {corners}: compile+first {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, (hs, al, ln) = scan(frames, state0)
+            _ = int(np.asarray(al)[-1].sum())
+            times.append(time.perf_counter() - t0)
+        tpu_fps = n / min(times)
+        cpu_fps, cpu_tracks = cpu_tracker(host_frames, corners, quality)
+        log(
+            f"corners {corners:5d}: TPU scan {tpu_fps:7.2f} fps "
+            f"(live {live}), CPU {cpu_fps:6.2f} fps (tracks {cpu_tracks}) "
+            f"-> {tpu_fps / cpu_fps:5.2f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()

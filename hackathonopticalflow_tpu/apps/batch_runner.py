@@ -119,7 +119,11 @@ def run_batch(cfg: BatchRunnerConfig) -> dict:
         # VMEM limit by ~6% — measured 2026-08-20)
         fn = jax.jit(lambda aa, bb: jax.lax.map(lambda ab: pair_fn(*ab), (aa, bb)))
 
-    prev = np.stack(first).astype(np.float32)
+    # stage frames as u8 (VERDICT r4 item 8): the relay's degraded
+    # post-compile H2D (~45-70 MB/s) is the streaming wall, and f32
+    # staging quadrupled the bytes for nothing — prepare_frame casts on
+    # device (u8 -> f32 is exact)
+    prev = np.stack(first).astype(np.uint8)
     alive = alive0
     danger_counts = [[] for _ in range(b)]
     n_steps = n_steps0

@@ -64,11 +64,20 @@ class LKParams:
     #: (25/24 px per level scale) a point freezes at its coarse estimate.
     iter_margin: int = 12
     #: static-grid path: vertical slab margin (rows are the kernel's
-    #: phase-A cost axis; horizontal margin is fixed at (128-win-1)//2 by
-    #: the 128-lane slab width). Points with |flow_y| beyond
+    #: phase-A cost axis). Points with |flow_y| beyond
     #: slab_margin_y - iter_margin per level scale freeze at their coarse
-    #: estimate.
+    #: estimate — and are then recovered by the level-0 init-centered
+    #: rescue (whose basin rescue_margin covers the coarser estimate's
+    #: error). Do NOT enlarge: the lanes kernel sits ~0.3 MB under the
+    #: 16 MB scoped-VMEM limit at these margins (measured round 5:
+    #: (48, 57) margins put the kernel at 18.92 MB — compile OOM).
     slab_margin_y: int = 36
+    #: static-grid path: horizontal slab margin. 41 = the v2 kernel's
+    #: (128-win-1)//2 layout constraint; for the lanes kernel it is a
+    #: free dial in principle (slab width is a sublane dim; keep
+    #: margin_x = 1 mod 4 so width stays 8-aligned) but VMEM-bound in
+    #: practice — see slab_margin_y.
+    slab_margin_x: int = 41
     #: static-grid path: drift budget at the TOP pyramid level, where the
     #: init is zero flow and the whole displacement must be found within
     #: the level (36 px at 1/2^max_level scale = a 144 px flow at full
@@ -109,6 +118,22 @@ class LKParams:
     #: displacement semantics at the cost of one extra L0 solve + a
     #: per-point dynamic slab extraction.
     rescue_large: bool = True
+    #: which levels get init-centered slabs: None = every level below
+    #: top; an int k = only levels < k. Default 1 (level 0 only): each
+    #: rescued level's extraction is ~2304 dynamic slices = ~2.8 ms/pair
+    #: on the relay (measured round 5: rescue at L0+L1 13.75 ms/pair vs
+    #: 11.02 L0-only vs 8.18 off). Points frozen at LEVEL 1 reach the
+    #: level-0 rescue with a level-2-quality init; the widened
+    #: rescue_margin basin absorbs that init's error, which is what lets
+    #: level 1 stay static.
+    rescue_levels: int | None = 1
+    #: drift budget of the init-centered rescue pass (px at the rescued
+    #: level's scale). Wider than iter_margin because a level-1-frozen
+    #: point's rescue init is its LEVEL-2 estimate, whose error can
+    #: exceed 12 px at full res; 20 covers it at ~the same extraction
+    #: cost (slice count unchanged) and one extra ladder bit per
+    #: iteration sample.
+    rescue_margin: int = 20
 
     @property
     def win_area(self) -> int:
@@ -163,6 +188,12 @@ class FarnebackParams:
     poly_sigma: float = 1.2
     gaussian_win: bool = False  # flags=0 in the reference -> box filter
     warp_mode: str = "auto"
+    #: pallas warp kernel: rows per y-tent group (the per-lane row
+    #: selection granularity — only the 2 bilinear rows of each group
+    #: carry weight, so smaller groups waste fewer gathered rows at the
+    #: cost of more scalar-gated group dispatches). 16 = round-3 shape;
+    #: 8 measured in-context round 5 (see BASELINE.md).
+    warp_group_rows: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,7 +122,11 @@ def _border_factor(h: int, w: int) -> jnp.ndarray:
 
 
 def update_matrices(
-    r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray, mode: str = "exact"
+    r0: jnp.ndarray,
+    r1: jnp.ndarray,
+    flow: jnp.ndarray,
+    mode: str = "exact",
+    group_rows: int = 16,
 ) -> jnp.ndarray:
     """Build the 5-channel normal-equation field M from the polynomial
     coefficients of both frames and the current flow. (OpenCV
@@ -152,7 +156,9 @@ def update_matrices(
 
         if supports(h, w):
             dt = jnp.bfloat16 if mode == "pallas_bf16" else jnp.float32
-            w2 = warp_bilinear_pallas(r1, fx, fy, slab_dtype=dt)
+            w2 = warp_bilinear_pallas(
+                r1, fx, fy, slab_dtype=dt, group_rows=group_rows
+            )
             return _assemble_m(r0, w2, inside, dx, dy, h, w)
         mode = "exact"  # level too small for the slab geometry
 
@@ -450,11 +456,17 @@ def farneback_prepared(
             flow = jnp.moveaxis(
                 resize_bilinear(jnp.moveaxis(flow, -1, 0), hk, wk), 0, -1
             ) * (1.0 / params.pyr_scale)
-        m = update_matrices(r0, r1, flow, mode=params.warp_mode)
+        m = update_matrices(
+            r0, r1, flow, mode=params.warp_mode,
+            group_rows=params.warp_group_rows,
+        )
         for i in range(params.iterations):
             flow = _solve_flow(m, params)
             if i < params.iterations - 1:
-                m = update_matrices(r0, r1, flow, mode=params.warp_mode)
+                m = update_matrices(
+                    r0, r1, flow, mode=params.warp_mode,
+                    group_rows=params.warp_group_rows,
+                )
     return flow
 
 
@@ -516,7 +528,10 @@ def farneback(
             coef_mode = params.warp_mode if params.warp_mode != "hybrid" else "exact"
 
             def make_m_exact(fl):
-                return update_matrices(r0, r1, fl, mode=coef_mode)
+                return update_matrices(
+                    r0, r1, fl, mode=coef_mode,
+                    group_rows=params.warp_group_rows,
+                )
 
         if params.warp_mode == "image":
             make_m_iter = make_m_final = make_m_img

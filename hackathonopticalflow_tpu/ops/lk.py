@@ -72,13 +72,21 @@ class PreparedFrame(NamedTuple):
 
 def _frame_pad(params: LKParams) -> int:
     """Window-sampling border pad. The static-grid path needs extra room:
-    slab margins (41/40 px) plus the half-window can reach ~63 px beyond
-    the frame at the top level (ops/grid_patch.py carve asserts cover
-    any residual violation)."""
+    slab margins (57/48 px, round 5) plus the half-window can reach
+    ~80 px beyond the frame (ops/grid_patch.py carve asserts cover any
+    residual violation)."""
     win_w, win_h = params.win_size
     pad = max(win_w, win_h) + 2
     if params.grid_step is not None:
-        pad += 24
+        half = (max(win_w, win_h) - 1) // 2
+        m = max(
+            params.slab_margin_x, params.slab_margin_y, params.iter_margin_top
+        )
+        pad = max(pad, half + m + 2)
+        if params.rescue_large:
+            # the rescue carve reaches rescue_margin beyond the clamped
+            # init, which itself reaches win + 2 beyond the frame
+            pad = max(pad, max(win_w, win_h) + params.rescue_margin + 2)
     return pad
 
 
@@ -306,7 +314,13 @@ def _level_lk_static_grid(
     img_prev_p = prev_prep.img_p[level]
     h = img_prev_p.shape[0] - 2 * pad
     w = img_prev_p.shape[1] - 2 * pad
-    margin_x = (128 - win_w - 1) // 2
+    if params.grid_kernel == "lanes":
+        # the lanes layout keeps slab width on a free sublane dim, so
+        # margin_x is a real dial (round 5); the v2 blocked kernel needs
+        # slab width exactly 128 lanes
+        margin_x = params.slab_margin_x
+    else:
+        margin_x = (128 - win_w - 1) // 2
     margin_y = params.slab_margin_y
 
     planes = jnp.stack(
@@ -351,7 +365,12 @@ def _level_lk_static_grid(
             early_exit=params.early_exit,
         )
         st_p = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
-        if level != params.max_level and params.rescue_large:
+        rescue_here = (
+            params.rescue_large
+            and level != params.max_level
+            and (params.rescue_levels is None or level < params.rescue_levels)
+        )
+        if rescue_here:
             # Init-centered slabs at the levels below top (round 5;
             # VERDICT r4 item 1). The anchor-centered static slab froze
             # any point whose coarse init fell outside its budget
@@ -370,8 +389,12 @@ def _level_lk_static_grid(
             from .patch import extract_slabs_rect
             from .lk_pallas3 import SLAB_BIAS
 
-            crop_y = win_h + 1 + 2 * m_iter
-            cxp = -(-(win_w + 1 + 2 * m_iter) // 8) * 8
+            # wider-than-iter_margin basin: a level-1-frozen point
+            # arrives here with a level-2-quality init whose error can
+            # exceed iter_margin; rescue_margin absorbs it
+            m_resc = params.rescue_margin
+            crop_y = win_h + 1 + 2 * m_resc
+            cxp = -(-(win_w + 1 + 2 * m_resc) // 8) * 8
             # clamp wildly-out-of-frame inits just enough to keep the
             # carve inside the padded plane; clamped points stay beyond
             # the kernel's oob gate, so their status dies as cv2's would
@@ -382,7 +405,7 @@ def _level_lk_static_grid(
                 ],
                 axis=-1,
             )
-            sb = jnp.floor(tlc).astype(jnp.int32) - m_iter  # [x, y]
+            sb = jnp.floor(tlc).astype(jnp.int32) - m_resc  # [x, y]
             slabs_r = extract_slabs_rect(
                 next_prep.img_p[level], sb + pad, crop_y, cxp
             )
@@ -395,7 +418,7 @@ def _level_lk_static_grid(
                 s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
             )
             next_tl, status_p = lk_iterate_grid_lanes(
-                tmpl, s8, sb, tlc, st_p, **common
+                tmpl, s8, sb, tlc, st_p, **dict(common, m_iter=m_resc)
             )
         else:
             slabs, bx, by = extract_grid_slabs_lanes(

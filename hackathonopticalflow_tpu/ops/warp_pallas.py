@@ -86,10 +86,12 @@ def supports(h: int, w: int) -> bool:
 
 
 def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
-            yi_ref, xi_ref, ay_ref, ax_ref, out_ref, slab2, sem2):
+            yi_ref, xi_ref, ay_ref, ax_ref, out_ref, slab2, sem2,
+            *, gr: int = 16):
     c = out_ref.shape[0]
     ti = pl.program_id(0)
     ntx = out_ref.shape[-1] // TW
+    ng = ROWS // gr
 
     # double-buffered slab pipeline over this row's column tiles (the
     # canonical intra-invocation pattern: warm-up start, prefetch next,
@@ -126,16 +128,16 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
         lane = lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
         # absolute slab column of each pixel's left bilinear tap
         ii0 = lane + xi  # (TH, TW) in [0, COLS-2]
-        ks = lax.broadcasted_iota(jnp.int32, (16, TW), 0)
+        ks = lax.broadcasted_iota(jnp.int32, (gr, TW), 0)
 
         def group(acc, g):
-            # one 16-row slab group: column-gather both bilinear taps for
-            # every output row, then the 16-row y-tent (exactly the two
+            # one gr-row slab group: column-gather both bilinear taps for
+            # every output row, then the gr-row y-tent (exactly the two
             # bilinear rows have nonzero weight; others add zeros)
             sg = (
-                slab[:, 16 * g : 16 * g + 16, :]
+                slab[:, gr * g : gr * g + gr, :]
                 .astype(jnp.float32)
-                .reshape(c * 16, COLS)
+                .reshape(c * gr, COLS)
             )
             h0 = sg[:, :TW]
             h1 = sg[:, TW : 2 * TW]
@@ -146,7 +148,7 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
                 # one shared mod keeps the index in-range for every group
                 # (TPU wraps OOB lanes mod 128 anyway, but interpret mode
                 # — and thus the CPU tests — would fill NaN)
-                iib = jnp.broadcast_to(ii[None, :], (c * 16, TW))
+                iib = jnp.broadcast_to(ii[None, :], (c * gr, TW))
                 iw = lax.rem(iib, TW)
                 v = jnp.where(
                     iib < TW,
@@ -157,7 +159,7 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
                         jnp.take_along_axis(h2, iw, axis=1),
                     ),
                 )
-                return v.reshape(c, 16, TW)
+                return v.reshape(c, gr, TW)
 
             rows = []
             for i in range(TH):
@@ -168,7 +170,7 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
                 # the tile's row 0, each output row i sits i rows further
                 # down. Integer row match keeps the weights exact (a f32
                 # tent over a 0..255 index costs ~2^-16 on the fraction).
-                d = ks + (16 * g - i) - yi[i][None, :]  # (16, TW) i32
+                d = ks + (gr * g - i) - yi[i][None, :]  # (gr, TW) i32
                 ty = jnp.where(
                     d == 0,
                     (1.0 - ay[i])[None, :],
@@ -179,11 +181,14 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
 
         # group 0 is always live (the aligned base remainder is < 8);
         # later groups are scalar-gated by the tile's live row bound,
-        # widened by TH-1 because the per-row sample index adds i
+        # widened by TH because the per-row sample index adds i and a
+        # margin-clipped residual (yi == RYC-1 while yh clips at RYC)
+        # still reads its +1 bilinear row at yh + TH - 1 (the 16-row
+        # granularity used to absorb that row; 8-row groups exposed it)
         acc = group(jnp.zeros((c, TH, TW), jnp.float32), 0)
-        for g in range(1, NG):
+        for g in range(1, ng):
             acc = lax.cond(
-                16 * g < yh + (TH - 1),
+                gr * g < yh + TH,
                 lambda a, g=g: group(a, g),
                 lambda a: a,
                 acc,
@@ -194,7 +199,9 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
     lax.fori_loop(0, ntx, col_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "slab_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "slab_dtype", "group_rows")
+)
 def warp_bilinear_pallas(
     src: jnp.ndarray,
     fx: jnp.ndarray,
@@ -202,6 +209,7 @@ def warp_bilinear_pallas(
     *,
     interpret: bool | None = None,
     slab_dtype=jnp.float32,
+    group_rows: int = 16,
 ) -> jnp.ndarray:
     """Sample src (C, H, W) at absolute float coords (fx, fy), each (H, W).
 
@@ -294,8 +302,9 @@ def warp_bilinear_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    assert ROWS % group_rows == 0, group_rows
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, gr=group_rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         interpret=interpret,
