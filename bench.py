@@ -177,8 +177,9 @@ def bench_sparse(n_pairs: int = 48):
     pts = jax.device_put(jnp.asarray(pts_np))
     dev = jax.device_put(jnp.asarray(frames))
     # static-grid v3 lanes kernel (ops/lk_pallas3.py): 128 points on the
-    # lane axis, every lane live (94-96 fps vs the v2 blocked kernel's
-    # 56-63 on this relay); the reference pipeline never reads err
+    # lane axis, every lane live; default params = the PRODUCTION
+    # quality config (round-5 init-centered level-0 rescue — unbounded
+    # displacement as cv2; the reference pipeline never reads err)
     lk_params = LKParams(
         grid_step=30, use_pallas=True, compute_err=False, grid_kernel="lanes"
     )
@@ -191,6 +192,27 @@ def bench_sparse(n_pairs: int = 48):
         return jnp.sum(res.modulus)
 
     fps = steady_fps(run_all, dev, n_pairs, label="sparse 1080p (device)")
+    # continuity row: the round-4 range-limited config (rescue off) —
+    # and both CPU denominators, per the pinned protocol (the canonical
+    # quiet-host median vs this run's draw; BASELINE.md round 4)
+    import dataclasses
+
+    lk_off = dataclasses.replace(lk_params, rescue_large=False)
+
+    @jax.jit
+    def run_off(fr):
+        res = lk_grid_flow_video(fr[::-1].astype(jnp.float32), pts, lk=lk_off)
+        return jnp.sum(res.modulus)
+
+    fps_off = steady_fps(
+        run_off, dev, n_pairs, label="sparse 1080p (rescue off)"
+    )
+    canon = 16.5  # canonical quiet-host CPU median (BASELINE.md r4)
+    log(
+        f"sparse vs_baseline: quality-config {fps / canon:.2f}x canonical"
+        + (f" / {fps / cpu_fps:.2f}x this-run draw" if cpu_fps else "")
+        + f"; rescue-off {fps_off / canon:.2f}x canonical"
+    )
     return fps, cpu_fps
 
 

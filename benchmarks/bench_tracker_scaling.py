@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from bench_tracker import load, log
 
 
-def cpu_tracker(frames, max_corners, quality, rounds=5) -> float:
+def cpu_tracker(frames, max_corners, quality, min_dist, rounds=5) -> float:
     import cv2
 
     lk = dict(
@@ -36,7 +36,7 @@ def cpu_tracker(frames, max_corners, quality, rounds=5) -> float:
         criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
     )
     fp = dict(
-        maxCorners=max_corners, qualityLevel=quality, minDistance=10,
+        maxCorners=max_corners, qualityLevel=quality, minDistance=min_dist,
         blockSize=7,
     )
     per_round = []
@@ -94,35 +94,54 @@ def main():
     frames = jax.device_put(jnp.asarray(host_frames, jnp.float32))
 
     for corners in (20, 128, 256, 512, 1024):
-        quality = 0.3 if corners == 20 else 0.05
-        params = TrackerParams(
-            lk=LKParams(win_size=(15, 15), use_pallas=True, slab_margin=8),
-            max_tracks=max(32, corners),
-            features=FeatureParams(
-                max_corners=corners, quality_level=quality,
-                max_candidates=max(128, 2 * corners),
-            ),
+        # detection params matched on both sides; denser settings at the
+        # big budgets so the workload actually CONTAINS that many
+        # corners (at quality 0.05 / minDist 10 the detector saturates
+        # near 213 on this clip — first run of this bench), and table
+        # capacity sized ABOVE the live population so our tracker drops
+        # nothing cv2 would keep (live tracks exceed max_corners because
+        # trajectories persist between redetects)
+        quality = 0.3 if corners == 20 else (0.05 if corners <= 256 else 0.01)
+        min_dist = 10 if corners <= 256 else 5
+        cap = {20: 64, 128: 256, 256: 512, 512: 1024, 1024: 2048}[corners]
+        cpu_fps, cpu_tracks = cpu_tracker(
+            host_frames, corners, quality, min_dist
         )
-        step = jax.jit(lambda s, a, b, p=params: track_step(s, a, b, p))
-        scan = jax.jit(lambda fr, s, p=params: track_video(fr, p, s))
-        state0 = step(init_tracker(params), frames[0], frames[0])
-        t0 = time.perf_counter()
-        s, (hs, al, ln) = scan(frames, state0)
-        live = int(np.asarray(al)[-1].sum())
-        log(f"corners {corners}: compile+first {time.perf_counter() - t0:.1f}s")
-        times = []
-        for _ in range(3):
+        for kernel, lanes in (("v1   ", False), ("lanes", True)):
+            params = TrackerParams(
+                lk=LKParams(
+                    win_size=(15, 15), use_pallas=True, slab_margin=8,
+                    points_lanes=lanes,
+                ),
+                max_tracks=cap,
+                features=FeatureParams(
+                    max_corners=corners, quality_level=quality,
+                    min_distance=min_dist,
+                    max_candidates=max(128, 2 * corners),
+                ),
+            )
+            step = jax.jit(lambda s, a, b, p=params: track_step(s, a, b, p))
+            scan = jax.jit(lambda fr, s, p=params: track_video(fr, p, s))
+            state0 = step(init_tracker(params), frames[0], frames[0])
             t0 = time.perf_counter()
             s, (hs, al, ln) = scan(frames, state0)
-            _ = int(np.asarray(al)[-1].sum())
-            times.append(time.perf_counter() - t0)
-        tpu_fps = n / min(times)
-        cpu_fps, cpu_tracks = cpu_tracker(host_frames, corners, quality)
-        log(
-            f"corners {corners:5d}: TPU scan {tpu_fps:7.2f} fps "
-            f"(live {live}), CPU {cpu_fps:6.2f} fps (tracks {cpu_tracks}) "
-            f"-> {tpu_fps / cpu_fps:5.2f}x"
-        )
+            live = int(np.asarray(al)[-1].sum())
+            log(
+                f"corners {corners} {kernel}: compile+first "
+                f"{time.perf_counter() - t0:.1f}s"
+            )
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s, (hs, al, ln) = scan(frames, state0)
+                _ = int(np.asarray(al)[-1].sum())
+                times.append(time.perf_counter() - t0)
+            tpu_fps = n / min(times)
+            log(
+                f"corners {corners:5d} (cap {cap}) {kernel}: TPU scan "
+                f"{tpu_fps:7.2f} fps (live {live}), CPU {cpu_fps:6.2f} fps "
+                f"(tracks {cpu_tracks}) -> {tpu_fps / cpu_fps:5.2f}x"
+            )
 
 
 if __name__ == "__main__":

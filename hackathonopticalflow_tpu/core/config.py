@@ -45,6 +45,15 @@ class LKParams:
     #: run the iteration loop as the Pallas VMEM kernel (ops/lk_pallas.py);
     #: implies a slab margin (slab_margin or 8). Interpreted off-TPU.
     use_pallas: bool = False
+    #: arbitrary-point path: route the iteration through the
+    #: points-in-lanes kernel (ops/lk_pallas3.py, init-centered slabs ==
+    #: crops — the round-5 rescue geometry) instead of the per-point v1
+    #: kernel. The v1 kernel's cost is linear in table capacity with a
+    #: big constant (block 32, serialized grid steps): the round-5
+    #: scaling table read 344 fps at 64 tracks but 18 fps at 2048, vs
+    #: the lanes kernel carrying 2304 static points at ~88 fps. Lanes
+    #: wins from ~128 tracks up (measured round 5, BASELINE.md).
+    points_lanes: bool = False
     #: points per Pallas grid step. Grid steps are sequential on a core,
     #: so larger blocks amortize the iteration loop's dependency-chain
     #: latency across more points (VMEM-bounded: block*(win+2M+3)^2 f32).
@@ -141,14 +150,15 @@ class LKParams:
 
 
 #: Tracker-flavoured LK (reference SparseOF.py:6-8). The tracker's
-#: arbitrary (non-grid) points run the v1 per-point Pallas kernel
-#: (ops/lk_pallas.py, slab margin 8): at the tracker's <=256-point
-#: workloads the exact XLA path's per-iteration window slices dominated
-#: the whole step — 57 -> 161 fps tracker scan at 1080p (round 4;
-#: matches the exact path to ~1e-3 px, golden-tested).
+#: arbitrary (non-grid) points run the points-in-lanes kernel with
+#: init-centered slabs (round 5 — ops/lk.py points_lanes): measured
+#: faster than the v1 per-point kernel at EVERY capacity on the 1080p
+#: tracker scan (cap 64: 381 vs 346 fps; 256: 187 vs 134; 512: 114 vs
+#: 78; 1024: 62 vs 39; 2048: 28 vs 18 — BASELINE.md round-5 scaling
+#: table), and matches it to ~1e-3 px with identical status bits.
 TRACKER_LK = LKParams(
     win_size=(15, 15), max_level=2, max_iters=10, eps=0.03,
-    use_pallas=True, slab_margin=8,
+    use_pallas=True, slab_margin=8, points_lanes=True,
 )
 
 

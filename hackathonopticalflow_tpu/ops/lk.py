@@ -87,6 +87,9 @@ def _frame_pad(params: LKParams) -> int:
             # the rescue carve reaches rescue_margin beyond the clamped
             # init, which itself reaches win + 2 beyond the frame
             pad = max(pad, max(win_w, win_h) + params.rescue_margin + 2)
+    if params.use_pallas and params.points_lanes:
+        m = params.slab_margin if params.slab_margin is not None else 8
+        pad = max(pad, max(win_w, win_h) + m + 2)
     return pad
 
 
@@ -161,6 +164,72 @@ def _level_lk(
     inv_det = jnp.where(det > 0, 1.0 / det, 0.0)
 
     next_tl0 = next_center - halfwin
+
+    if params.use_pallas and params.points_lanes:
+        # Points-in-lanes kernel for ARBITRARY points (round 5): the
+        # same init-centered slab == crop geometry as the static-grid
+        # rescue pass, so displacement is unbounded across levels (each
+        # level re-centers at its init) and the per-point v1 kernel's
+        # capacity-linear cost is replaced by 128-lane blocks. Templates
+        # are the f32 _fix windows quantized x32 to i16 (exact — the
+        # same W_BITS stream the static-grid extractor builds); points
+        # whose template is bad (oob / degenerate tensor) get zero
+        # templates so the kernel's spectral gate deactivates them,
+        # matching the v1 path's active mask.
+        from .lk_pallas3 import SLAB_BIAS, lk_iterate_grid_lanes
+        from .patch import extract_slabs_rect
+
+        margin = params.slab_margin if params.slab_margin is not None else 8
+        crop_y = win_h + 1 + 2 * margin
+        cxp = -(-(win_w + 1 + 2 * margin) // 8) * 8
+        n = pts.shape[0]
+        lb = 128
+        np_pad = -(-n // lb) * lb
+        pad_cols = np_pad - n
+        wwp = -(-win_w // 8) * 8
+        ti = jnp.round(
+            jnp.where(bad_tmpl[:, None, None, None], 0.0, tmpl) * 32.0
+        ).astype(jnp.int16)
+        ti = jnp.pad(
+            ti, ((0, pad_cols), (0, 0), (0, 0), (0, wwp - win_w))
+        )
+        tmpl_lanes = jnp.transpose(ti, (1, 2, 3, 0))  # (3, wh, wwp, NP)
+        tlc = jnp.stack(
+            [
+                jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
+                jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
+            ],
+            axis=-1,
+        )
+        sb = jnp.floor(tlc).astype(jnp.int32) - margin  # [x, y] unpadded
+        slabs_r = extract_slabs_rect(img_next_p, sb + pad, crop_y, cxp)
+        s8 = (slabs_r - jnp.float32(SLAB_BIAS)).astype(jnp.int8)
+        if pad_cols:
+            s8 = jnp.pad(s8, ((0, pad_cols), (0, 0), (0, 0)))
+            sb = jnp.pad(sb, ((0, pad_cols), (0, 0)))
+            tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
+        s8 = jnp.transpose(
+            s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
+        )
+        st_p = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
+        next_tl, status_p = lk_iterate_grid_lanes(
+            tmpl_lanes, s8, sb, tlc, st_p,
+            win_w=win_w, win_h=win_h, m_iter=margin,
+            level_w=w, level_h=h, max_iters=params.max_iters,
+            eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
+            min_eig_threshold=params.min_eig_threshold,
+            early_exit=params.early_exit,
+        )
+        next_tl = next_tl[:n]
+        status = status_p[:n]
+        next_center_out = next_tl + halfwin
+        if level == 0:
+            jw = extract_patches(img_next_p, next_tl + pad_off, win_h, win_w)
+            err = jnp.sum(jnp.abs(jw - iw), axis=(1, 2)) / (win_w * win_h)
+            err = jnp.where(status, err, 0.0)
+        else:
+            err = jnp.zeros(pts.shape[0], jnp.float32)
+        return next_center_out, status, err
 
     if params.use_pallas:
         from .lk_pallas import lk_iterate

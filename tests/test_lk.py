@@ -118,3 +118,49 @@ def test_lk_translation_synthetic():
     # the bulk must nail the shift; allow stragglers in flat patches
     assert np.median(err) < 0.05
     assert np.percentile(err, 90) < 0.5
+
+
+def test_points_lanes_matches_v1_kernel():
+    """The arbitrary-point lanes path (ops/lk.py points_lanes — the
+    round-5 tracker-at-scale kernel) matches the v1 per-point Pallas
+    kernel on random points over smooth synthetic motion."""
+    import dataclasses
+
+    from hackathonopticalflow_tpu.core.config import TRACKER_LK
+
+    rng = np.random.RandomState(3)
+    base = rng.uniform(0, 255, (200, 280)).astype(np.float32)
+    k = np.array([1, 4, 6, 4, 1], np.float32)
+    k = np.outer(k, k) / 256.0
+    img = base
+    for _ in range(2):
+        img = np.pad(img, 2, mode="reflect")
+        img = sum(
+            img[i : i + 200, j : j + 280] * k[i, j]
+            for i in range(5)
+            for j in range(5)
+        )
+    nxt = np.roll(np.roll(img, 3, axis=0), -4, axis=1)
+    pts = np.stack(
+        [rng.uniform(12, 268, 150), rng.uniform(12, 188, 150)], -1
+    ).astype(np.float32)
+    v1 = pyr_lk(jnp.asarray(img), jnp.asarray(nxt), jnp.asarray(pts), TRACKER_LK)
+    lanes = pyr_lk(
+        jnp.asarray(img), jnp.asarray(nxt), jnp.asarray(pts),
+        dataclasses.replace(TRACKER_LK, points_lanes=True),
+    )
+    assert np.array_equal(np.asarray(v1.status), np.asarray(lanes.status))
+    both = np.asarray(v1.status)
+    d = np.linalg.norm(
+        np.asarray(v1.next_pts) - np.asarray(lanes.next_pts), axis=-1
+    )[both]
+    # heavily smoothed synthetic = soft gradients, so f32 summation-order
+    # differences between the kernels show as ~1e-2 px; on real corpus
+    # frames the same comparison reads ~6e-5 px median (round-5 probe)
+    assert np.median(d) < 0.02
+    assert np.percentile(d, 95) < 0.1
+    # both kernels must nail the true (-4, +3) shift
+    for r in (v1, lanes):
+        flow = (np.asarray(r.next_pts) - pts)[both]
+        err = np.abs(flow - np.array([-4.0, 3.0], np.float32))
+        assert np.median(err) < 0.05
