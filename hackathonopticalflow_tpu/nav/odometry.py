@@ -279,6 +279,12 @@ def _jit_parallax_batch():
     return jax.jit(jax.vmap(_rotation_residual_px, in_axes=(None, 0, 0, None)))
 
 
+@functools.lru_cache(maxsize=2)
+def _jit_parallax_matrix():
+    one = jax.vmap(_rotation_residual_px, in_axes=(None, 0, 0, None))
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
+
+
 def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
     """Adaptive keyframe selection (cfg.kf_stride is None).
 
@@ -291,52 +297,68 @@ def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
     baseline at which translation signal dominates the clip's own noise
     — bounded by track survival (kf_min_tracks shared live tracks).
     Fast-rotation clips (high floor) stretch the baseline; clean forward
-    flight keeps keyframes dense. One vmapped dispatch per keyframe
-    evaluates the floor and the whole candidate range (padded to a
-    clip-independent shape so the compile is shared)."""
+    flight keeps keyframes dense.
+
+    The parallax of EVERY (anchor, candidate) pair is precomputed in ONE
+    vmapped dispatch and the greedy walk runs on the host matrix: the
+    round-4 form dispatched once per chosen keyframe, and on the relay
+    (~30-50 ms/dispatch) those ~35 round trips were ~2 s of the geometry
+    stage's wall time (measured round 5, probe_ego_steady). The extra
+    arithmetic (all anchors instead of ~1/3) is 3x3-Kabsch trivia."""
     f = len(table.pos)
     npos = np.asarray(cam.normalize(table.pos))
     lo, hi = cfg.kf_min_stride, cfg.kf_max_stride
+    if f < 2 or lo > f - 1:
+        return np.asarray([0])
+    anchors = np.arange(f - 1)
+    # column 0 = the a+1 noise floor; columns 1.. = candidates a+lo..a+hi
+    # clipped to the last frame (clipped duplicates are sliced off per
+    # anchor in the walk, exactly like the round-4 padding)
+    cand_mat = np.concatenate(
+        [
+            anchors[:, None] + 1,
+            np.minimum(
+                anchors[:, None] + np.arange(lo, hi + 1)[None, :], f - 1
+            ),
+        ],
+        axis=1,
+    )  # (f-1, K)
+    # same physical track at both ends: alive at both, birth matches
+    ok = (
+        table.alive[anchors][:, None, :]
+        & table.alive[cand_mat]
+        & (table.birth[cand_mat] == table.birth[anchors][:, None, :])
+    )  # (f-1, K, T)
+    res_all = np.asarray(
+        _jit_parallax_matrix()(
+            jnp.asarray(npos[anchors]),
+            jnp.asarray(npos[cand_mat]),
+            jnp.asarray(ok),
+            jnp.float32(cam.fx),
+        )
+    )  # (f-1, K)
+    n_shared_all = ok.sum(-1)
+
     kf = [0]
-    run = _jit_parallax_batch()
     while kf[-1] < f - 1:
         a = kf[-1]
-        cand = np.arange(a + lo, min(a + hi, f - 1) + 1)
-        if len(cand) == 0:
+        n_c = min(a + hi, f - 1) - (a + lo) + 1
+        if n_c <= 0:
             break
-        if len(cand) == 1:
+        cand = np.arange(a + lo, a + lo + n_c)
+        if n_c == 1:
             kf.append(int(cand[0]))
             continue
-        # leading entry a+1 measures the noise floor; pad the candidate
-        # axis to the full range so the compile is clip-independent
-        cand_p = np.concatenate(
-            [[a + 1], cand, np.repeat(cand[-1], (hi - lo + 1) - len(cand))]
-        )
-        # same physical track at both ends: alive at both, birth matches
-        ok = (
-            table.alive[a][None, :]
-            & table.alive[cand_p]
-            & (table.birth[cand_p] == table.birth[a][None, :])
-        )
-        res = np.asarray(
-            run(
-                jnp.asarray(npos[a]),
-                jnp.asarray(npos[cand_p]),
-                jnp.asarray(ok),
-                jnp.float32(cam.fx),
-            )
-        )
-        floor, res = res[0], res[1 : 1 + len(cand)]
-        n_shared = ok[1 : 1 + len(cand)].sum(1)
+        floor = res_all[a, 0]
+        res = res_all[a, 1 : 1 + n_c]
+        n_shared = n_shared_all[a, 1 : 1 + n_c]
         thresh = max(
             cfg.kf_alpha * (floor if np.isfinite(floor) else 0.0),
             cfg.kf_min_px,
         )
         # candidates past the track-survival bound are ineligible (but
         # keep at least the first so the walk always advances)
-        alivec = (n_shared >= cfg.kf_min_tracks) | (
-            np.arange(len(cand)) == 0
-        )
+        alivec = (n_shared >= cfg.kf_min_tracks) | (np.arange(n_c) == 0)
         eligible = np.nan_to_num(res, nan=np.inf) >= thresh
         hit = np.flatnonzero(eligible & alivec)
         if len(hit):
