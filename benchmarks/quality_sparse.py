@@ -101,6 +101,8 @@ def main():
             agrees.append(np.mean(mask(nxt_d[step]) == mask(ref_nxt)))
         epe = np.concatenate(epes)
         epe_t = np.concatenate(epes_tracked)
+        if epe_t.size == 0:  # pathological clip: nothing both-tracked
+            epe_t = np.array([np.nan])
         log(
             f"{os.path.basename(path)[:28]:28s} epe med {np.median(epe):.1e} "
             f"p95 {np.percentile(epe, 95):.3f} p99 {np.percentile(epe, 99):.2f} "

@@ -310,7 +310,13 @@ def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
     lo, hi = cfg.kf_min_stride, cfg.kf_max_stride
     if f < 2 or lo > f - 1:
         return np.asarray([0])
-    anchors = np.arange(f - 1)
+    # anchor axis padded to a 64 bucket (duplicating the last anchor) so
+    # the one-dispatch compile is shared across clip lengths — without
+    # it every (clip length, track capacity) pair costs a fresh relay
+    # compile, eating the round trips this batching saves
+    n_a = f - 1
+    a_pad = -(-n_a // 64) * 64
+    anchors = np.minimum(np.arange(a_pad), n_a - 1)
     # column 0 = the a+1 noise floor; columns 1.. = candidates a+lo..a+hi
     # clipped to the last frame (clipped duplicates are sliced off per
     # anchor in the walk, exactly like the round-4 padding)
@@ -322,13 +328,13 @@ def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
             ),
         ],
         axis=1,
-    )  # (f-1, K)
+    )  # (a_pad, K)
     # same physical track at both ends: alive at both, birth matches
     ok = (
         table.alive[anchors][:, None, :]
         & table.alive[cand_mat]
         & (table.birth[cand_mat] == table.birth[anchors][:, None, :])
-    )  # (f-1, K, T)
+    )  # (a_pad, K, T)
     res_all = np.asarray(
         _jit_parallax_matrix()(
             jnp.asarray(npos[anchors]),
@@ -336,8 +342,8 @@ def select_keyframes(table: TrackTable, cam, cfg: OdometryConfig) -> np.ndarray:
             jnp.asarray(ok),
             jnp.float32(cam.fx),
         )
-    )  # (f-1, K)
-    n_shared_all = ok.sum(-1)
+    )[:n_a]  # (f-1, K)
+    n_shared_all = ok.sum(-1)[:n_a]
 
     kf = [0]
     while kf[-1] < f - 1:

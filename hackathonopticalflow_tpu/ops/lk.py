@@ -84,13 +84,82 @@ def _frame_pad(params: LKParams) -> int:
         )
         pad = max(pad, half + m + 2)
         if params.rescue_large:
-            # the rescue carve reaches rescue_margin beyond the clamped
-            # init, which itself reaches win + 2 beyond the frame
-            pad = max(pad, max(win_w, win_h) + params.rescue_margin + 2)
+            pad = max(pad, _init_centered_pad(win_w, win_h, params.rescue_margin))
     if params.use_pallas and params.points_lanes:
         m = params.slab_margin if params.slab_margin is not None else 8
-        pad = max(pad, max(win_w, win_h) + m + 2)
+        pad = max(pad, _init_centered_pad(win_w, win_h, m))
     return pad
+
+
+def _init_centered_pad(win_w: int, win_h: int, margin: int) -> int:
+    """Border pad needed by the init-centered slab carve: the clamped
+    init reaches win + 2 beyond the frame, the carve reaches margin
+    past it, and the x slice width is the 8-ALIGNED crop (cxp), whose
+    rounding slack s would otherwise let lax.dynamic_slice clamp
+    silently and shift slab content relative to the sb origin the
+    kernel is told (round-5 review finding — the shipped defaults only
+    escaped because their slack points were already oob-dead).
+
+    Exact bounds: x slice end sb_x + cxp <= w + pad with sb_x up to
+    w + 2 - margin gives pad >= cxp - margin + 2 = win_w + margin + 3 + s;
+    y needs win_h + margin + 3; slice starts need win + margin + 2."""
+    crop_x = win_w + 1 + 2 * margin
+    slack = (-crop_x) % 8
+    return max(win_w + margin + 3 + slack, win_h + margin + 3)
+
+
+def _carve_init_centered(
+    img_p: jnp.ndarray,
+    next_tl0: jnp.ndarray,
+    status: jnp.ndarray,
+    margin: int,
+    win_w: int,
+    win_h: int,
+    pad: int,
+    np_pad: int,
+    lb: int = 128,
+):
+    """Init-centered slab carve shared by the static-grid rescue pass
+    and the arbitrary-point lanes path (slab == iteration crop — the
+    top-level kernel geometry; ops/lk_pallas3.py derives nothing, the
+    caller passes sb as slab_base).
+
+    Clamps wildly-out-of-frame inits just enough to keep the carve
+    inside the padded plane (clamped points stay beyond the kernel's
+    oob gate, so their status dies as cv2's would; _init_centered_pad
+    guarantees the slice never clamps for any input), extracts one
+    (crop_y, cxp) slab per point and relays to the lanes block layout.
+
+    Returns (slabs_i8 (Nb, crop_y, cxp, lb), sb (np_pad, 2) i32,
+    tlc (np_pad, 2) f32, st (np_pad,) f32)."""
+    from .lk_pallas3 import SLAB_BIAS
+    from .patch import extract_slabs_rect
+
+    h = img_p.shape[0] - 2 * pad
+    w = img_p.shape[1] - 2 * pad
+    crop_y = win_h + 1 + 2 * margin
+    cxp = -(-(win_w + 1 + 2 * margin) // 8) * 8
+    n = next_tl0.shape[0]
+    pad_cols = np_pad - n
+    tlc = jnp.stack(
+        [
+            jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
+            jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
+        ],
+        axis=-1,
+    )
+    sb = jnp.floor(tlc).astype(jnp.int32) - margin  # [x, y] unpadded
+    slabs_r = extract_slabs_rect(img_p, sb + pad, crop_y, cxp)
+    s8 = (slabs_r - jnp.float32(SLAB_BIAS)).astype(jnp.int8)
+    if pad_cols:
+        s8 = jnp.pad(s8, ((0, pad_cols), (0, 0), (0, 0)))
+        sb = jnp.pad(sb, ((0, pad_cols), (0, 0)))
+        tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
+    s8 = jnp.transpose(
+        s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
+    )
+    st = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
+    return s8, sb, tlc, st
 
 
 def prepare_frame(img: jnp.ndarray, params: LKParams) -> PreparedFrame:
@@ -176,15 +245,11 @@ def _level_lk(
         # whose template is bad (oob / degenerate tensor) get zero
         # templates so the kernel's spectral gate deactivates them,
         # matching the v1 path's active mask.
-        from .lk_pallas3 import SLAB_BIAS, lk_iterate_grid_lanes
-        from .patch import extract_slabs_rect
+        from .lk_pallas3 import lk_iterate_grid_lanes
 
         margin = params.slab_margin if params.slab_margin is not None else 8
-        crop_y = win_h + 1 + 2 * margin
-        cxp = -(-(win_w + 1 + 2 * margin) // 8) * 8
         n = pts.shape[0]
-        lb = 128
-        np_pad = -(-n // lb) * lb
+        np_pad = -(-n // 128) * 128
         pad_cols = np_pad - n
         wwp = -(-win_w // 8) * 8
         ti = jnp.round(
@@ -194,24 +259,9 @@ def _level_lk(
             ti, ((0, pad_cols), (0, 0), (0, 0), (0, wwp - win_w))
         )
         tmpl_lanes = jnp.transpose(ti, (1, 2, 3, 0))  # (3, wh, wwp, NP)
-        tlc = jnp.stack(
-            [
-                jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
-                jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
-            ],
-            axis=-1,
+        s8, sb, tlc, st_p = _carve_init_centered(
+            img_next_p, next_tl0, status, margin, win_w, win_h, pad, np_pad
         )
-        sb = jnp.floor(tlc).astype(jnp.int32) - margin  # [x, y] unpadded
-        slabs_r = extract_slabs_rect(img_next_p, sb + pad, crop_y, cxp)
-        s8 = (slabs_r - jnp.float32(SLAB_BIAS)).astype(jnp.int8)
-        if pad_cols:
-            s8 = jnp.pad(s8, ((0, pad_cols), (0, 0), (0, 0)))
-            sb = jnp.pad(sb, ((0, pad_cols), (0, 0)))
-            tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
-        s8 = jnp.transpose(
-            s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
-        )
-        st_p = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
         next_tl, status_p = lk_iterate_grid_lanes(
             tmpl_lanes, s8, sb, tlc, st_p,
             win_w=win_w, win_h=win_h, m_iter=margin,
@@ -455,36 +505,13 @@ def _level_lk_static_grid(
             # is bit-identical to the old phase-A crop, so golden parity
             # is unchanged. Cost: one slice-priced dynamic slice per
             # point per level instead of the static strided carve.
-            from .patch import extract_slabs_rect
-            from .lk_pallas3 import SLAB_BIAS
-
             # wider-than-iter_margin basin: a level-1-frozen point
             # arrives here with a level-2-quality init whose error can
             # exceed iter_margin; rescue_margin absorbs it
             m_resc = params.rescue_margin
-            crop_y = win_h + 1 + 2 * m_resc
-            cxp = -(-(win_w + 1 + 2 * m_resc) // 8) * 8
-            # clamp wildly-out-of-frame inits just enough to keep the
-            # carve inside the padded plane; clamped points stay beyond
-            # the kernel's oob gate, so their status dies as cv2's would
-            tlc = jnp.stack(
-                [
-                    jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
-                    jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
-                ],
-                axis=-1,
-            )
-            sb = jnp.floor(tlc).astype(jnp.int32) - m_resc  # [x, y]
-            slabs_r = extract_slabs_rect(
-                next_prep.img_p[level], sb + pad, crop_y, cxp
-            )
-            s8 = (slabs_r - jnp.float32(SLAB_BIAS)).astype(jnp.int8)
-            if pad_cols:
-                s8 = jnp.pad(s8, ((0, pad_cols), (0, 0), (0, 0)))
-                sb = jnp.pad(sb, ((0, pad_cols), (0, 0)))
-                tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
-            s8 = jnp.transpose(
-                s8.reshape(np_pad // lb, lb, crop_y, cxp), (0, 2, 3, 1)
+            s8, sb, tlc, st_p = _carve_init_centered(
+                next_prep.img_p[level], next_tl0, status, m_resc,
+                win_w, win_h, pad, np_pad,
             )
             next_tl, status_p = lk_iterate_grid_lanes(
                 tmpl, s8, sb, tlc, st_p, **dict(common, m_iter=m_resc)

@@ -91,11 +91,7 @@ def extract_patches_multi(
 def extract_slabs(img: jnp.ndarray, top_left_int: jnp.ndarray, size: int) -> jnp.ndarray:
     """(N, size, size) integer-aligned slabs (one big dynamic slice per
     point — slice-priced, cheap). top_left_int: (N, 2) int32 [x, y]."""
-
-    def slice_one(p):
-        return lax.dynamic_slice(img, (p[1], p[0]), (size, size))
-
-    return jax.vmap(slice_one)(top_left_int)
+    return extract_slabs_rect(img, top_left_int, size, size)
 
 
 def extract_slabs_rect(

@@ -74,7 +74,6 @@ TH, TW = 8, 128
 ROWS, COLS = 96, 384
 RYC = 81
 RXC = 129
-NG = ROWS // 16  # 6 row groups of 16
 PADT = 72  # vertical flow margin (alignment eats the rest of RYC)
 PADL = RXC - 1  # horizontal flow margin
 

@@ -45,6 +45,13 @@ def load_checkpoint(path: str, templates: dict[str, Any]) -> dict[str, Any]:
     out = {}
     for name, template in templates.items():
         leaves, treedef = jax.tree.flatten(template)
+        if f"{name}__treedef" not in data and f"{name}__0" not in data:
+            # forward compatibility: a template key absent from the saved
+            # checkpoint (e.g. 'poses' added in round 5) falls back to
+            # the template's own values instead of a KeyError, so old
+            # checkpoints stay loadable across upgrades
+            out[name] = template
+            continue
         saved_def = data.get(f"{name}__treedef")
         if saved_def is not None:
             saved_repr = bytes(saved_def.tobytes()).decode()

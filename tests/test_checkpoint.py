@@ -54,3 +54,25 @@ def test_tracker_checkpoint_resume_identical():
 
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_checkpoint_missing_template_key(tmp_path):
+    """Forward compatibility (round-5 review finding): a template key
+    absent from an older checkpoint (e.g. the tracker's 'poses', added
+    round 5) falls back to the template instead of KeyError, so
+    pre-upgrade checkpoints stay loadable."""
+    import numpy as np
+
+    from hackathonopticalflow_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, a=np.arange(3))
+    out = load_checkpoint(
+        path,
+        {"a": np.zeros(3, np.int64), "b": {"x": np.ones(2, np.float32)}},
+    )
+    assert np.array_equal(np.asarray(out["a"]), np.arange(3))
+    assert np.array_equal(np.asarray(out["b"]["x"]), np.ones(2))
