@@ -180,14 +180,17 @@ def _kernel(by8_ref, bx128_ref, yh_ref, src_ref,
 
         # group 0 is always live (the aligned base remainder is < 8);
         # later groups are scalar-gated by the tile's live row bound,
-        # widened by TH because the per-row sample index adds i and a
-        # margin-clipped residual (yi == RYC-1 while yh clips at RYC)
-        # still reads its +1 bilinear row at yh + TH - 1 (the 16-row
-        # granularity used to absorb that row; 8-row groups exposed it)
+        # widened by TH-1 because the per-row sample index adds i — plus
+        # one more ONLY when yh clipped at RYC: a margin-clipped residual
+        # (yi == RYC-1 while yh saturates) still reads its +1 bilinear
+        # row at yh + TH - 1 (the 16-row granularity used to absorb that
+        # row; 8-row groups exposed it). Unclipped tiles keep the tight
+        # bound so no group runs needlessly.
+        bound = yh + (TH - 1) + jnp.where(yh >= RYC, 1, 0)
         acc = group(jnp.zeros((c, TH, TW), jnp.float32), 0)
         for g in range(1, ng):
             acc = lax.cond(
-                gr * g < yh + TH,
+                gr * g < bound,
                 lambda a, g=g: group(a, g),
                 lambda a: a,
                 acc,
