@@ -1,0 +1,113 @@
+"""Ego-motion tracking stage with the lanes LK kernel (round-5 cont.).
+
+The ego benchmarks (bench_ate/bench_tracker/probe_ego_steady) run the
+tracking stage with the EXACT-path LK (plain LKParams defaults), which
+measures 41 fps at 640x360 — while the 1080p tracker scan runs 182 fps
+on the points-lanes kernel (BASELINE.md round-5 stage rows). This probe
+measures collect_tracks with both paths at the ego workload and checks
+the resulting track tables and ego trajectories agree, to decide
+whether the ego pipeline should default to the lanes kernel.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmarks")
+
+import numpy as np
+import jax
+
+from bench_tracker import load, log
+
+
+def table_agreement(ta, tb, tol=0.5):
+    both = ta.alive & tb.alive
+    either = ta.alive | tb.alive
+    alive_agree = 1.0 - (ta.alive ^ tb.alive).sum() / max(either.sum(), 1)
+    d = np.linalg.norm(ta.pos - tb.pos, axis=-1)
+    div = (d > tol) & both
+    return alive_agree, div.sum() / max(both.sum(), 1), float(
+        np.median(d[both])
+    )
+
+
+def main():
+    from hackathonopticalflow_tpu.core.config import (
+        FeatureParams,
+        LKParams,
+        TrackerParams,
+    )
+    from hackathonopticalflow_tpu.nav.camera import Pinhole
+    from hackathonopticalflow_tpu.nav.odometry import (
+        OdometryConfig,
+        collect_tracks,
+        ego_motion_track,
+    )
+
+    clip = "/root/reference/videos/Тёмный_коридор_колонны .mp4"
+    log(f"device {jax.devices()[0]}")
+    feats = FeatureParams(max_corners=60, quality_level=0.1, max_candidates=512)
+    cfgs = {
+        "exact": TrackerParams(
+            lk=LKParams(win_size=(15, 15)), max_tracks=128, features=feats
+        ),
+        "lanes": TrackerParams(
+            lk=LKParams(
+                win_size=(15, 15), use_pallas=True, slab_margin=8,
+                points_lanes=True,
+            ),
+            max_tracks=128,
+            features=feats,
+        ),
+    }
+    f2 = load(clip, 110, w=640, h=360)
+    cam = Pinhole.from_fov(640, 360, 155.0)
+
+    tables = {}
+    for name, p in cfgs.items():
+        for i in range(3):
+            t0 = time.perf_counter()
+            tables[name] = collect_tracks(f2, p)
+            dt = time.perf_counter() - t0
+            log(f"collect_tracks[{name}] call {i}: {dt:.2f}s "
+                f"-> {len(f2) / dt:.2f} fps")
+
+    alive_agree, div, med = table_agreement(tables["exact"], tables["lanes"])
+    log(f"table agreement: alive {alive_agree:.4f}, div>0.5px {div:.4f}, "
+        f"median dist {med:.4f}px")
+
+    trajs = {}
+    for name, p in cfgs.items():
+        for i in range(2):
+            t0 = time.perf_counter()
+            res = ego_motion_track(
+                f2, p, cam, OdometryConfig(), table=tables[name]
+            )
+            dt = time.perf_counter() - t0
+            log(f"geometry[{name}] call {i}: {dt:.2f}s "
+                f"-> {len(f2) / dt:.2f} fps")
+        trajs[name] = np.asarray([p_[:3, 3] for p_ in res.poses])
+
+    # unit-gauge both trajectories and compare shape (the same rel-span
+    # convention bench_ate uses for its gauged metric)
+    def gauge(t):
+        steps = np.linalg.norm(np.diff(t, axis=0), axis=-1)
+        s = np.median(steps[steps > 1e-9]) or 1.0
+        return t / s
+
+    ga, gb = gauge(trajs["exact"]), gauge(trajs["lanes"])
+    dt_traj = np.linalg.norm(ga - gb, axis=-1)
+    log(f"trajectory delta (unit-gauged): median {np.median(dt_traj):.4f}, "
+        f"max {dt_traj.max():.4f} (span {np.linalg.norm(ga[-1]-ga[0]):.2f})")
+
+    # e2e with lanes
+    for i in range(2):
+        t0 = time.perf_counter()
+        ego_motion_track(f2, cfgs["lanes"], cam, OdometryConfig())
+        dt = time.perf_counter() - t0
+        log(f"ego e2e[lanes] call {i}: {dt:.2f}s -> {len(f2) / dt:.2f} fps")
+
+
+if __name__ == "__main__":
+    main()
