@@ -42,8 +42,18 @@ def bench(fn, *args, label="", reps=5):
 
 
 def main():
+    from jax import lax
+
     from hackathonopticalflow_tpu.ops.carve_pallas import gather_rects
-    from hackathonopticalflow_tpu.ops.patch import extract_slabs_rect
+
+    def extract_slabs_rect(img, tl, size_h, size_w):
+        # the RAW vmap(dynamic_slice) form (ops/patch.py now routes
+        # through the DMA kernel on TPU — this probe measures against
+        # the pre-DMA lowering)
+        def slice_one(p):
+            return lax.dynamic_slice(img, (p[1], p[0]), (size_h, size_w))
+
+        return jax.vmap(slice_one)(tl)
 
     log(f"device: {jax.devices()[0]}")
     rng = np.random.RandomState(0)
@@ -113,7 +123,6 @@ def main():
 
     # 3-plane template-stack shape (extract_patches_multi's workload)
     img3 = jnp.stack([img, img * 0.5, img * 0.25])
-    from hackathonopticalflow_tpu.ops.patch import extract_slabs_rect as _esr
 
     @jax.jit
     def xla3(b):

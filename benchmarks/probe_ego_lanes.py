@@ -77,7 +77,16 @@ def main():
     log(f"table agreement: alive {alive_agree:.4f}, div>0.5px {div:.4f}, "
         f"median dist {med:.4f}px")
 
-    trajs = {}
+    # quality: gauged ATE vs the cv2-composed oracle (bench_ate's
+    # round-5 metric — monocular scale unobservable, both sides
+    # unit-step-gauged), for BOTH tracking variants
+    from bench_ate import FOV_DEG, H, W, run_oracle, unit_gauge
+
+    from hackathonopticalflow_tpu.nav.metrics import ate_umeyama
+
+    f = (W / 2.0) / np.tan(np.radians(FOV_DEG) / 2.0)
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+    oracle = run_oracle(f2, K)
     for name, p in cfgs.items():
         for i in range(2):
             t0 = time.perf_counter()
@@ -87,19 +96,20 @@ def main():
             dt = time.perf_counter() - t0
             log(f"geometry[{name}] call {i}: {dt:.2f}s "
                 f"-> {len(f2) / dt:.2f} fps")
-        trajs[name] = np.asarray([p_[:3, 3] for p_ in res.poses])
-
-    # unit-gauge both trajectories and compare shape (the same rel-span
-    # convention bench_ate uses for its gauged metric)
-    def gauge(t):
-        steps = np.linalg.norm(np.diff(t, axis=0), axis=-1)
-        s = np.median(steps[steps > 1e-9]) or 1.0
-        return t / s
-
-    ga, gb = gauge(trajs["exact"]), gauge(trajs["lanes"])
-    dt_traj = np.linalg.norm(ga - gb, axis=-1)
-    log(f"trajectory delta (unit-gauged): median {np.median(dt_traj):.4f}, "
-        f"max {dt_traj.max():.4f} (span {np.linalg.norm(ga[-1]-ga[0]):.2f})")
+        oracle_g = unit_gauge(oracle[res.kf_idx])
+        span_g = float(
+            np.linalg.norm(oracle_g - oracle_g.mean(0), axis=-1).max() + 1e-9
+        )
+        ba_g = round(
+            ate_umeyama(unit_gauge(res.centers), oracle_g)["rmse"] / span_g, 4
+        )
+        raw_g = round(
+            ate_umeyama(unit_gauge(res.raw_centers), oracle_g)["rmse"]
+            / span_g,
+            4,
+        )
+        log(f"ATE[{name}] gauged rel-span: raw {raw_g} -> BA {ba_g} "
+            f"({len(res.kf_idx)} keyframes)")
 
     # e2e with lanes
     for i in range(2):

@@ -17,6 +17,59 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+#: Route batched rect extraction through the Pallas DMA carve on TPU.
+#: OFF until a formulation compiles on this relay: every make_async_copy
+#: carve form tried so far crashes the remote Mosaic helper
+#: (benchmarks/micro_carve2.py / micro_carve3.py, 2026-08-21).
+DMA_CARVE = False
+
+
+def _dma_rects(img: jnp.ndarray, tli: jnp.ndarray, size_h: int, size_w: int):
+    """Route a batched rect extraction through the Pallas DMA kernel
+    (ops/carve_pallas.py) when it beats the XLA gather: on TPU, the
+    vmap(dynamic_slice) lowering costs ~1.2 us PER SLICE regardless of
+    size (CLAUDE.md relay cost model) while the DMA engine issues the
+    same copies in ~0.1 us each (benchmarks/micro_carve.py, 2026-08-21).
+
+    Origins are clamped to keep every DMA in bounds. For in-bounds
+    requests (all live LK points — the frame pad guarantees it, see
+    ops/lk.py _frame_pad) results are bit-identical to the slice path.
+    Out-of-range origins (diverged points, sampled before their active
+    mask kills them) clamp slightly differently than dynamic_slice's
+    wrap-then-clamp, but those window values are never consumed: the
+    points are oob-masked and their estimates frozen (tests/test_carve.py
+    pins the in-bounds equivalence; tests/test_lk.py pins end-to-end
+    parity). Returns None when the DMA route doesn't apply (not on
+    TPU)."""
+    if not DMA_CARVE or jax.default_backend() != "tpu":
+        return None
+    from .carve_pallas import gather_rects
+
+    h, w = img.shape[-2:]
+    c = img.shape[0] if img.ndim == 3 else 1
+    n = tli.shape[0]
+    tl = jnp.stack(
+        [
+            jnp.clip(tli[:, 0], 0, w - size_w),
+            jnp.clip(tli[:, 1], 0, h - size_h),
+        ],
+        axis=-1,
+    )
+    pad_n = (-n) % 32
+    if pad_n:
+        tl = jnp.pad(tl, ((0, pad_n), (0, 0)))
+    # largest block that divides N and keeps the kernel's double-buffered
+    # out block a modest VMEM slice
+    block = 32
+    for b in (128, 64):
+        if (n + pad_n) % b == 0 and (
+            b * c * size_h * size_w * img.dtype.itemsize <= 4 * 2**20
+        ):
+            block = b
+            break
+    out = gather_rects(img, tl, ry=size_h, rx=size_w, block=block)
+    return out[:n] if pad_n else out
+
 
 def extract_patches(
     img: jnp.ndarray, top_left: jnp.ndarray, size_h: int, size_w: int
@@ -33,10 +86,13 @@ def extract_patches(
     frac = (top_left - ip).astype(img.dtype)
     ipi = ip.astype(jnp.int32)
 
-    def slice_one(p):
-        return lax.dynamic_slice(img, (p[1], p[0]), (size_h + 1, size_w + 1))
+    raw = _dma_rects(img, ipi, size_h + 1, size_w + 1)
+    if raw is None:
 
-    raw = jax.vmap(slice_one)(ipi)  # (N, size_h+1, size_w+1)
+        def slice_one(p):
+            return lax.dynamic_slice(img, (p[1], p[0]), (size_h + 1, size_w + 1))
+
+        raw = jax.vmap(slice_one)(ipi)  # (N, size_h+1, size_w+1)
     return blend_bilinear(raw, frac, size_h, size_w)
 
 
@@ -70,10 +126,15 @@ def extract_patches_multi(
     frac = (top_left - ip).astype(imgs.dtype)
     ipi = ip.astype(jnp.int32)
 
-    def slice_one(p):
-        return lax.dynamic_slice(imgs, (0, p[1], p[0]), (c, size_h + 1, size_w + 1))
+    raw = _dma_rects(imgs, ipi, size_h + 1, size_w + 1)
+    if raw is None:
 
-    raw = jax.vmap(slice_one)(ipi)  # (N, C, size_h+1, size_w+1)
+        def slice_one(p):
+            return lax.dynamic_slice(
+                imgs, (0, p[1], p[0]), (c, size_h + 1, size_w + 1)
+            )
+
+        raw = jax.vmap(slice_one)(ipi)  # (N, C, size_h+1, size_w+1)
     ax = frac[:, 0][:, None, None, None]
     ay = frac[:, 1][:, None, None, None]
     w00 = (1 - ax) * (1 - ay)
@@ -100,6 +161,9 @@ def extract_slabs_rect(
     """extract_slabs with a rectangular (size_h, size_w) window — used by
     the static-grid path's large-flow rescue pass (ops/lk.py), whose
     slab IS the iteration crop (win + 1 + 2*iter_margin per axis)."""
+    out = _dma_rects(img, top_left_int, size_h, size_w)
+    if out is not None:
+        return out
 
     def slice_one(p):
         return lax.dynamic_slice(img, (p[1], p[0]), (size_h, size_w))

@@ -26,6 +26,38 @@ def test_gather_rects_matches_dynamic_slice_2d():
     assert bool(jnp.all(out == ref))
 
 
+def test_dma_route_clamp_matches_dynamic_slice():
+    """ops/patch.py _dma_rects clamps origins before the DMA kernel; for
+    non-negative origins (including past-the-end ones) the clamp must
+    reproduce lax.dynamic_slice exactly. NEGATIVE origins wrap
+    Python-style inside XLA before clamping and are deliberately NOT
+    matched — those windows belong to diverged points whose values are
+    oob-masked before any consumer sees them (ops/patch.py _dma_rects
+    docstring)."""
+    import jax
+    from jax import lax
+
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.uniform(0, 255, (100, 160)), jnp.float32)
+    # origins from 0 to far past the end of the plane
+    tl_np = np.stack(
+        [rng.randint(0, 700, 64), rng.randint(0, 600, 64)], -1
+    ).astype(np.int32)
+    ry, rx = 21, 24
+    tl_clamped = jnp.stack(
+        [
+            jnp.clip(jnp.asarray(tl_np[:, 0]), 0, 160 - rx),
+            jnp.clip(jnp.asarray(tl_np[:, 1]), 0, 100 - ry),
+        ],
+        axis=-1,
+    )
+    out = gather_rects(img, tl_clamped, ry=ry, rx=rx, block=32)
+    ref = jax.vmap(
+        lambda p: lax.dynamic_slice(img, (p[1], p[0]), (ry, rx))
+    )(jnp.asarray(tl_np))
+    assert bool(jnp.all(out == ref))
+
+
 def test_gather_rects_matches_dynamic_slice_3d():
     rng = np.random.RandomState(4)
     img = jnp.asarray(rng.uniform(-9, 9, (3, 90, 140)), jnp.float32)
