@@ -143,6 +143,15 @@ class LKParams:
     #: cost (slice count unchanged) and one extra ladder bit per
     #: iteration sample.
     rescue_margin: int = 20
+    #: init-centered carve backend (the rescue pass and the
+    #: points_lanes tracker path): 'auto' routes the per-point slab
+    #: extraction through the aligned Pallas DMA kernel
+    #: (ops/carve_pallas.py, ~0.25 us/slab vs ~1.34 us/slice for the
+    #: XLA gather) on TPU when there are >= 512 points; True/False
+    #: force it. Results are bit-identical to the gather carve — the
+    #: lanes kernel's phase-A ladder absorbs the 8-px origin
+    #: quantization (measured + pinned, tests/test_carve.py).
+    carve_dma: str | bool = "auto"
 
     @property
     def win_area(self) -> int:

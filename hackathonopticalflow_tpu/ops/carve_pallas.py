@@ -10,19 +10,32 @@ production-grid slices alone are +2.8 ms/pair, and the 2048-capacity
 tracker row loses to the CPU on ~15 ms/frame of slices
 (BASELINE.md round-5 scaling table).
 
-This kernel replaces the gather loop with the TPU's DMA engine: the
-rectangle origins are scalar-prefetched to SMEM, and each grid step
-issues `block` async HBM->VMEM copies back to back (start-all, then
-wait-all — the loop bodies are DMA-only, the one in-kernel-loop form
-this toolchain compiles reliably; cf. ops/warp_pallas.py and the
-CLAUDE.md Mosaic gotchas). The data volume is identical to the XLA
-gather; only the per-slice issue overhead changes.
+These kernels replace the gather loop with the TPU's DMA engine: the
+rectangle origins are scalar-prefetched to SMEM and each grid step
+issues one async HBM->VMEM copy straight into its out block. The data
+volume is (nearly) identical to the XLA gather; only the per-slice
+issue overhead changes.
 
-DMA start offsets: ops/warp_pallas.py ships (8, 128)-aligned bases
-because Mosaic must PROVE slice alignment there. Measured on this
-toolchain (benchmarks/micro_carve.py, 2026-08-21): arbitrary unaligned
-dynamic starts DO compile and copy correctly for f32 planes — the
-aligned variant buys nothing — so this kernel takes raw origins.
+DMA start offsets MUST be provably (8, 128)-aligned on this toolchain,
+exactly as ops/warp_pallas.py documents: every unaligned or 8-aligned-x
+formulation — looped, unrolled, or one DMA per grid step — crashes the
+relay's remote Mosaic helper, and a non-multiple-of-128 rect width
+crashes it too (benchmarks/micro_carve2/3/4.py, 2026-08-21). The
+measured envelope (micro_carve4/5.py):
+  - XLA gather:                      1.34 us/rect (any size)
+  - aligned DMA, (96, 256) f32:      0.73 us/rect
+  - aligned DMA, (96, 128) f32:      0.41 us/rect
+  - aligned PANEL DMA, (96,128) i8:  0.248 us/rect
+  - aligned PANEL DMA, (24,128) i8:  0.244 us/rect (issue-bound)
+`gather_rects` therefore exists in two forms:
+  - the generic unaligned form (kept for interpret mode and as the
+    documented negative — it cannot compile on this relay);
+  - `gather_rects_panels`: origins quantized to (8, 8); the 8-px x
+    residue indexes a 16-PANEL stack of x-shifted copies of the plane
+    (`build_panels`), so the in-panel column base is 128-aligned and
+    provable. The leftover <=7 px offsets per axis are absorbed
+    downstream by the lanes kernel's phase-A ladder
+    (ops/lk_pallas3.py), which exists for exactly this job.
 
 Reference: cv2.calcOpticalFlowPyrLK's per-point window sampling
 (pathfinder_viewer.py:154-158); cf. SURVEY.md section 2.3.
@@ -110,3 +123,87 @@ def gather_rects(
         out_shape=jax.ShapeDtypeStruct((n,) + blk[1:], img.dtype),
         interpret=interpret,
     )(xs, ys, img)
+
+
+def build_panels(
+    img: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    bias: float = 128.0,
+    dtype=jnp.int8,
+) -> jnp.ndarray:
+    """Build the 16-panel x-shift stack `gather_rects_panels` carves
+    from: panel k holds img[:, 8k : 8k + width], zero-padded so every
+    panel covers [0, height) x [0, width) regardless of the source's
+    true extent. The zero region sits beyond the caller's reflect pad
+    and is only ever read by points whose status is already dead
+    (ops/lk.py _carve_init_centered docstring).
+
+    bias is subtracted before the dtype cast (the lanes kernel's int8
+    slab convention, SLAB_BIAS — exact for u8-quantized pyramid
+    levels)."""
+    h, w = img.shape
+    src = img
+    pad_r = max(0, height - h)
+    pad_c = max(0, width + 8 * 15 - w)
+    if pad_r or pad_c:
+        src = jnp.pad(src, ((0, pad_r), (0, pad_c)))
+    src = (src - jnp.asarray(bias, img.dtype)).astype(dtype)
+    return jnp.stack(
+        [src[:height, 8 * k : 8 * k + width] for k in range(16)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ry", "rx", "interpret"))
+def gather_rects_panels(
+    panels: jnp.ndarray,
+    x8: jnp.ndarray,
+    y8: jnp.ndarray,
+    *,
+    ry: int,
+    rx: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Extract one (ry, rx) rect per point at 8-ALIGNED origins (x8, y8)
+    from a `build_panels` stack, one DMA per point (~0.25 us each).
+
+    panels: (16, Hq, Wq) from build_panels. x8, y8: (N,) int32 origins,
+    multiples of 8, in the panel plane's coordinate frame; the caller
+    guarantees y8 + ry <= Hq and x8 + rx <= Wq + (x8 % 128 ? 0 : 0) —
+    i.e. the 128-aligned in-panel base plus rx stays inside Wq. ry must
+    be a multiple of 8 and rx a multiple of 128 (the relay's provable-
+    alignment envelope; module docstring)."""
+    assert ry % 8 == 0 and rx % 128 == 0, (ry, rx)
+    n = x8.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pan = x8 % 128 // 8
+    xq = x8 // 128
+    yq = y8 // 8
+
+    def kernel(pan_r, xq_r, yq_r, img_ref, out_ref, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            img_ref.at[
+                pan_r[i], pl.ds(yq_r[i] * 8, ry), pl.ds(xq_r[i] * 128, rx)
+            ],
+            out_ref.at[0],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, ry, rx), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, ry, rx), panels.dtype),
+        interpret=interpret,
+    )(pan, xq, yq, panels)

@@ -162,6 +162,84 @@ def _carve_init_centered(
     return s8, sb, tlc, st
 
 
+def _use_dma_carve(params: LKParams, n: int) -> bool:
+    """Whether the init-centered carve should run through the aligned
+    Pallas DMA kernel instead of the XLA gather. 'auto' enables it on
+    TPU from 512 points up: the DMA saves ~1.1 us/point but pays a
+    16-panel i8 restage of the level plane (~0.1 ms at 1080p), so small
+    point sets keep the gather (benchmarks/micro_carve5.py)."""
+    if params.carve_dma == "auto":
+        return jax.default_backend() == "tpu" and n >= 512
+    return bool(params.carve_dma)
+
+
+def _carve_init_centered_dma(
+    img_p: jnp.ndarray,
+    next_tl0: jnp.ndarray,
+    status: jnp.ndarray,
+    margin: int,
+    win_w: int,
+    win_h: int,
+    pad: int,
+    np_pad: int,
+    lb: int = 128,
+):
+    """Aligned-DMA form of _carve_init_centered: origins quantize to
+    8-px and the 16-panel stack makes the in-panel column base provably
+    128-aligned (ops/carve_pallas.py), so each slab is ONE ~0.25 us DMA
+    instead of a ~1.34 us XLA slice. The slab grows to (ry8, 128) and
+    carries the <=7 px quantization offsets; the lanes kernel's phase-A
+    ladder (capped at a_max=7) aligns the crop to EXACTLY the content
+    the un-aligned carve extracts, so results are bit-identical
+    (tests/test_carve.py::test_rescue_dma_carve_matches_slice_carve).
+
+    DMA columns beyond the reflect-padded plane read build_panels'
+    zero fill; they sit outside the phase-A crop (offset + crop <=
+    slab on both axes) and are never consumed.
+
+    Returns (slabs_i8 (Nb, ry8, 128, lb), sb (np_pad, 2) i32 ALIGNED
+    origins, tlc (np_pad, 2) f32, st (np_pad,) f32)."""
+    from .carve_pallas import build_panels, gather_rects_panels
+    from .lk_pallas3 import SLAB_BIAS
+
+    h = img_p.shape[0] - 2 * pad
+    w = img_p.shape[1] - 2 * pad
+    crop_y = win_h + 1 + 2 * margin
+    cxp = -(-(win_w + 1 + 2 * margin) // 8) * 8
+    ry = -(-(crop_y + 7) // 8) * 8
+    rx = 128
+    assert cxp + 7 <= rx, (cxp, "margin too wide for one panel width")
+    n = next_tl0.shape[0]
+    pad_cols = np_pad - n
+    tlc = jnp.stack(
+        [
+            jnp.clip(next_tl0[:, 0], -(win_w + 2.0), w + 2.0),
+            jnp.clip(next_tl0[:, 1], -(win_h + 2.0), h + 2.0),
+        ],
+        axis=-1,
+    )
+    sb = jnp.floor(tlc).astype(jnp.int32) - margin  # [x, y] unpadded
+    x8 = (sb[:, 0] + pad) // 8 * 8
+    y8 = (sb[:, 1] + pad) // 8 * 8
+    if pad_cols:
+        x8 = jnp.pad(x8, (0, pad_cols))
+        y8 = jnp.pad(y8, (0, pad_cols))
+        tlc = jnp.pad(tlc, ((0, pad_cols), (0, 0)))
+    # panel extents cover the worst CLAMPED origin (tlc bounds above)
+    y8max = (h + 2 - margin + pad) // 8 * 8
+    x8max = (w + 2 - margin + pad) // 8 * 8
+    hq = y8max + ry
+    wq = x8max // 128 * 128 + rx
+    panels = build_panels(img_p, height=hq, width=wq, bias=float(SLAB_BIAS))
+    slabs = gather_rects_panels(panels, x8, y8, ry=ry, rx=rx)
+    s8 = jnp.transpose(
+        slabs.reshape(np_pad // lb, lb, ry, rx), (0, 2, 3, 1)
+    )
+    sb_al = jnp.stack([x8 - pad, y8 - pad], axis=-1)
+    st = jnp.pad(status.astype(jnp.float32), (0, pad_cols))
+    return s8, sb_al, tlc, st
+
+
 def prepare_frame(img: jnp.ndarray, params: LKParams) -> PreparedFrame:
     pad = _frame_pad(params)
     pyr = build_pyramid(img.astype(jnp.float32), params.max_level, quantize_u8=True)
@@ -259,16 +337,25 @@ def _level_lk(
             ti, ((0, pad_cols), (0, 0), (0, 0), (0, wwp - win_w))
         )
         tmpl_lanes = jnp.transpose(ti, (1, 2, 3, 0))  # (3, wh, wwp, NP)
-        s8, sb, tlc, st_p = _carve_init_centered(
-            img_next_p, next_tl0, status, margin, win_w, win_h, pad, np_pad
-        )
+        if _use_dma_carve(params, n):
+            s8, sb, tlc, st_p = _carve_init_centered_dma(
+                img_next_p, next_tl0, status, margin, win_w, win_h,
+                pad, np_pad,
+            )
+            a_max = 7
+        else:
+            s8, sb, tlc, st_p = _carve_init_centered(
+                img_next_p, next_tl0, status, margin, win_w, win_h,
+                pad, np_pad,
+            )
+            a_max = None
         next_tl, status_p = lk_iterate_grid_lanes(
             tmpl_lanes, s8, sb, tlc, st_p,
             win_w=win_w, win_h=win_h, m_iter=margin,
             level_w=w, level_h=h, max_iters=params.max_iters,
             eps2=float(max(params.eps, 0.0) ** 2), is_level0=(level == 0),
             min_eig_threshold=params.min_eig_threshold,
-            early_exit=params.early_exit,
+            early_exit=params.early_exit, a_max=a_max,
         )
         next_tl = next_tl[:n]
         status = status_p[:n]
@@ -509,12 +596,21 @@ def _level_lk_static_grid(
             # arrives here with a level-2-quality init whose error can
             # exceed iter_margin; rescue_margin absorbs it
             m_resc = params.rescue_margin
-            s8, sb, tlc, st_p = _carve_init_centered(
-                next_prep.img_p[level], next_tl0, status, m_resc,
-                win_w, win_h, pad, np_pad,
-            )
+            if _use_dma_carve(params, n):
+                s8, sb, tlc, st_p = _carve_init_centered_dma(
+                    next_prep.img_p[level], next_tl0, status, m_resc,
+                    win_w, win_h, pad, np_pad,
+                )
+                a_max = 7
+            else:
+                s8, sb, tlc, st_p = _carve_init_centered(
+                    next_prep.img_p[level], next_tl0, status, m_resc,
+                    win_w, win_h, pad, np_pad,
+                )
+                a_max = None
             next_tl, status_p = lk_iterate_grid_lanes(
-                tmpl, s8, sb, tlc, st_p, **dict(common, m_iter=m_resc)
+                tmpl, s8, sb, tlc, st_p,
+                **dict(common, m_iter=m_resc), a_max=a_max,
             )
         else:
             slabs, bx, by = extract_grid_slabs_lanes(

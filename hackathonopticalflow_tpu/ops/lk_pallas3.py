@@ -96,6 +96,7 @@ def lk_iterate_grid_lanes(
     is_level0: bool,
     min_eig_threshold: float = 1e-4,
     early_exit: bool = True,
+    a_max: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Points-in-lanes LK level iteration. NP = Nb * 128 (the padded
@@ -104,7 +105,14 @@ def lk_iterate_grid_lanes(
 
     When the slab geometry equals the iteration crop (Ry == crop_y and
     Rx == padded crop_x — the top-level configuration), phase A is a
-    single debias cast and the ladder work vanishes."""
+    single debias cast and the ladder work vanishes.
+
+    a_max caps the phase-A alignment range below the slab-vs-crop
+    slack: the aligned DMA carve (ops/carve_pallas.py) delivers 8-px-
+    quantized origins inside (Ry, 128) rects whose slack is 10/40 px
+    but whose true offsets are <= 7, and the cap drops the never-taken
+    ladder passes. Offsets beyond the cap freeze like offsets beyond
+    the slack always have (the `fits` gate)."""
     nb, ry, rx, b = slabs.shape
     assert b == 128
     np_ = nb * b
@@ -114,8 +122,10 @@ def lk_iterate_grid_lanes(
     # raw width; otherwise pad the crop to an 8-aligned width
     cxp = crop_x if rx == crop_x else _round_up(crop_x, 8)
     assert crop_y <= ry and cxp <= rx, (crop_y, ry, cxp, rx)
-    a_bits_y = _ladder_bits(ry - crop_y)
-    a_bits_x = _ladder_bits(rx - cxp)
+    slack_y = ry - crop_y if a_max is None else min(ry - crop_y, a_max)
+    slack_x = rx - cxp if a_max is None else min(rx - cxp, a_max)
+    a_bits_y = _ladder_bits(slack_y)
+    a_bits_x = _ladder_bits(slack_x)
     i_bits = _ladder_bits(2 * m_iter)
     wwp = tmpl.shape[2]
     assert tmpl.shape == (3, win_h, wwp, np_), tmpl.shape
@@ -159,12 +169,12 @@ def lk_iterate_grid_lanes(
         rx0_raw = jnp.floor(tlx0).astype(jnp.int32) - base_x - m_iter
         fits = (
             (ry0_raw >= 0)
-            & (ry0_raw <= ry - crop_y)
+            & (ry0_raw <= slack_y)
             & (rx0_raw >= 0)
-            & (rx0_raw <= rx - cxp)
+            & (rx0_raw <= slack_x)
         ).astype(jnp.float32)
-        oym = jnp.clip(ry0_raw, 0, ry - crop_y)
-        oxm = jnp.clip(rx0_raw, 0, rx - cxp)
+        oym = jnp.clip(ry0_raw, 0, slack_y)
+        oxm = jnp.clip(rx0_raw, 0, slack_x)
         crop_bx = base_x + oxm  # (1, 1, b) unpadded coords of crop origin
         crop_by = base_y + oym
 

@@ -58,6 +58,112 @@ def test_dma_route_clamp_matches_dynamic_slice():
     assert bool(jnp.all(out == ref))
 
 
+def test_panels_carve_matches_slice_carve():
+    """gather_rects_panels at 8-aligned origins must return exactly the
+    plane content the slice carve would (the panel indirection and the
+    zero fill must be invisible inside the plane)."""
+    from hackathonopticalflow_tpu.ops.carve_pallas import (
+        build_panels,
+        gather_rects_panels,
+    )
+
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.uniform(0, 255, (200, 300)).round(), jnp.float32)
+    ry, rx = 40, 128
+    tl_np = np.stack(
+        [rng.randint(0, (300 - rx) // 8, 64) * 8,
+         rng.randint(0, (200 - ry) // 8, 64) * 8], -1
+    ).astype(np.int32)
+    hq = (200 // 8) * 8 + ry
+    wq = ((300 + 8 * 15) // 128) * 128 + rx
+    panels = build_panels(img, height=hq, width=wq)
+    out = gather_rects_panels(
+        panels, jnp.asarray(tl_np[:, 0]), jnp.asarray(tl_np[:, 1]),
+        ry=ry, rx=rx,
+    )
+    img8 = (img - 128.0).astype(jnp.int8)
+    for k in (0, 17, 63):
+        x, y = tl_np[k]
+        rect = np.zeros((ry, rx), np.int8)
+        real = np.asarray(img8[y : y + ry, x : min(x + rx, 300)])
+        rect[: real.shape[0], : real.shape[1]] = real
+        assert np.array_equal(np.asarray(out[k]), rect), k
+
+
+def test_rescue_dma_carve_matches_slice_carve():
+    """The full static-grid rescue pipeline must produce BIT-IDENTICAL
+    endpoints and status with carve_dma on and off: the aligned DMA slab
+    plus the phase-A ladder (a_max=7) reconstructs exactly the crop the
+    direct carve extracts."""
+    import dataclasses
+
+    from hackathonopticalflow_tpu.core.grid import measurement_grid
+    from hackathonopticalflow_tpu.ops.image import sep_conv2d
+    from hackathonopticalflow_tpu.ops.lk import pyr_lk
+
+    from hackathonopticalflow_tpu.core.config import LKParams
+
+    rng = np.random.RandomState(7)
+    base = rng.uniform(0, 255, (360, 600)).astype(np.float32)
+    k = jnp.asarray([0.25, 0.5, 0.25])
+    sm = base
+    for _ in range(4):
+        sm = np.asarray(sep_conv2d(jnp.asarray(sm), k, k))
+    a = sm[40:310, 50:530]
+    b = sm[43:313, 90:570]
+    h, w = a.shape
+    pts = measurement_grid(h, w, 30)
+    cfgs = [
+        LKParams(grid_step=30, use_pallas=True, carve_dma=False),
+        LKParams(grid_step=30, use_pallas=True, carve_dma=True),
+    ]
+    outs = [
+        pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), c)
+        for c in cfgs
+    ]
+    assert np.array_equal(
+        np.asarray(outs[0].status), np.asarray(outs[1].status)
+    )
+    assert np.array_equal(
+        np.asarray(outs[0].next_pts), np.asarray(outs[1].next_pts)
+    )
+
+
+def test_points_lanes_dma_carve_matches_slice_carve():
+    """Same bit-identity through the arbitrary-point lanes path (the
+    tracker's LK)."""
+    from hackathonopticalflow_tpu.ops.image import sep_conv2d
+    from hackathonopticalflow_tpu.ops.lk import pyr_lk
+
+    from hackathonopticalflow_tpu.core.config import LKParams
+
+    rng = np.random.RandomState(8)
+    base = rng.uniform(0, 255, (260, 400)).astype(np.float32)
+    k = jnp.asarray([0.25, 0.5, 0.25])
+    sm = base
+    for _ in range(3):
+        sm = np.asarray(sep_conv2d(jnp.asarray(sm), k, k))
+    a = sm[10:210, 20:350]
+    b = sm[13:213, 26:356]
+    pts = np.stack(
+        [rng.uniform(10, 320, 96), rng.uniform(10, 190, 96)], -1
+    ).astype(np.float32)
+    mk = lambda dma: LKParams(
+        win_size=(15, 15), use_pallas=True, slab_margin=8,
+        points_lanes=True, carve_dma=dma,
+    )
+    outs = [
+        pyr_lk(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts), mk(d))
+        for d in (False, True)
+    ]
+    assert np.array_equal(
+        np.asarray(outs[0].status), np.asarray(outs[1].status)
+    )
+    assert np.array_equal(
+        np.asarray(outs[0].next_pts), np.asarray(outs[1].next_pts)
+    )
+
+
 def test_gather_rects_matches_dynamic_slice_3d():
     rng = np.random.RandomState(4)
     img = jnp.asarray(rng.uniform(-9, 9, (3, 90, 140)), jnp.float32)
