@@ -207,3 +207,70 @@ def gather_rects_panels(
         out_shape=jax.ShapeDtypeStruct((n, ry, rx), panels.dtype),
         interpret=interpret,
     )(pan, xq, yq, panels)
+
+
+def build_panels_multi(
+    imgs: jnp.ndarray, *, height: int, width: int
+) -> jnp.ndarray:
+    """Multi-plane build_panels: (C, H, W) -> (16, C, height, width)
+    x-shift stack in the SOURCE dtype (no bias/quantization — the
+    template path needs exact plane values). Zero fill beyond the
+    source as in build_panels."""
+    c, h, w = imgs.shape
+    src = imgs
+    pad_r = max(0, height - h)
+    pad_c = max(0, width + 8 * 15 - w)
+    if pad_r or pad_c:
+        src = jnp.pad(src, ((0, 0), (0, pad_r), (0, pad_c)))
+    return jnp.stack(
+        [src[:, :height, 8 * k : 8 * k + width] for k in range(16)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ry", "rx", "interpret"))
+def gather_rects_panels_multi(
+    panels: jnp.ndarray,
+    x8: jnp.ndarray,
+    y8: jnp.ndarray,
+    *,
+    ry: int,
+    rx: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-plane gather_rects_panels: panels (16, C, Hq, Wq) from
+    build_panels_multi -> (N, C, ry, rx), one 3-plane DMA per point.
+    Same alignment contract as gather_rects_panels."""
+    assert ry % 8 == 0 and rx % 128 == 0, (ry, rx)
+    n = x8.shape[0]
+    c = panels.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pan = x8 % 128 // 8
+    xq = x8 // 128
+    yq = y8 // 8
+
+    def kernel(pan_r, xq_r, yq_r, img_ref, out_ref, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            img_ref.at[
+                pan_r[i], :, pl.ds(yq_r[i] * 8, ry), pl.ds(xq_r[i] * 128, rx)
+            ],
+            out_ref.at[0],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, c, ry, rx), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, c, ry, rx), panels.dtype),
+        interpret=interpret,
+    )(pan, xq, yq, panels)

@@ -17,11 +17,73 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-#: Route batched rect extraction through the Pallas DMA carve on TPU.
-#: OFF until a formulation compiles on this relay: every make_async_copy
-#: carve form tried so far crashes the remote Mosaic helper
-#: (benchmarks/micro_carve2.py / micro_carve3.py, 2026-08-21).
+#: Route batched rect extraction through the UNALIGNED Pallas DMA carve
+#: on TPU. Permanently OFF on this relay: every unaligned make_async_copy
+#: form crashes the remote Mosaic helper (benchmarks/micro_carve2-4.py,
+#: 2026-08-21). The ALIGNED panel route below (_dma_patches_raw) is the
+#: one that works.
 DMA_CARVE = False
+
+#: Route the integer-origin window crops behind extract_patches /
+#: extract_patches_multi through the ALIGNED panel DMA carve
+#: (ops/carve_pallas.py) + a <=7 px masked-add shift. 'auto' = on TPU
+#: from DMA_TMPL_MIN_N points (the ~16-panel plane restage outweighs the
+#: saving below that); True/False force (tests force True in interpret
+#: mode to pin bit-identity).
+DMA_TMPL = "auto"
+DMA_TMPL_MIN_N = 512
+
+
+def _dma_patches_raw(
+    imgs: jnp.ndarray, ipi: jnp.ndarray, size_h: int, size_w: int
+):
+    """Integer-origin crop batch via the aligned panel DMA: returns the
+    (N, C, size_h, size_w) raw windows extract_patches_multi's
+    vmap(dynamic_slice) would produce, or None when the route doesn't
+    apply. Origins clamp like the slice path for non-negative overflow;
+    negative origins differ (XLA wraps them Python-style) but belong to
+    oob points whose windows are never consumed (ops/lk.py masks).
+
+    The carve lands on (8,128)-aligned bases (the relay's provable-DMA
+    envelope; ops/carve_pallas.py) and the <=7 px residual offsets are
+    resolved with 8+8 masked static-slice adds — the select_windows
+    trick — which is exact (one branch live per point)."""
+    route = DMA_TMPL
+    if route == "auto":
+        route = (
+            jax.default_backend() == "tpu"
+            and ipi.shape[0] >= DMA_TMPL_MIN_N
+        )
+    if not route or size_w + 7 > 128:
+        return None
+    from .carve_pallas import build_panels_multi, gather_rects_panels_multi
+
+    squeeze = imgs.ndim == 2
+    if squeeze:
+        imgs = imgs[None]
+    c, h, w = imgs.shape
+    xi = jnp.clip(ipi[:, 0], 0, w - size_w)
+    yi = jnp.clip(ipi[:, 1], 0, h - size_h)
+    x8 = xi // 8 * 8
+    y8 = yi // 8 * 8
+    ry = -(-(size_h + 7) // 8) * 8
+    rx = 128
+    hq = (h - size_h) // 8 * 8 + ry
+    wq = (w - size_w) // 8 * 8 // 128 * 128 + rx
+    panels = build_panels_multi(imgs, height=hq, width=wq)
+    raw = gather_rects_panels_multi(panels, x8, y8, ry=ry, rx=rx)
+    raw = raw[..., : size_w + 8]  # pre-crop before the shift passes
+    dy = (yi - y8)[:, None, None, None]
+    dx = (xi - x8)[:, None, None, None]
+    rows = jnp.zeros(
+        (raw.shape[0], c, size_h, size_w + 8), raw.dtype
+    )
+    for k in range(8):
+        rows = rows + jnp.where(dy == k, raw[:, :, k : k + size_h, :], 0)
+    out = jnp.zeros((raw.shape[0], c, size_h, size_w), raw.dtype)
+    for k in range(8):
+        out = out + jnp.where(dx == k, rows[..., k : k + size_w], 0)
+    return out[:, 0] if squeeze else out
 
 
 def _dma_rects(img: jnp.ndarray, tli: jnp.ndarray, size_h: int, size_w: int):
@@ -86,7 +148,7 @@ def extract_patches(
     frac = (top_left - ip).astype(img.dtype)
     ipi = ip.astype(jnp.int32)
 
-    raw = _dma_rects(img, ipi, size_h + 1, size_w + 1)
+    raw = _dma_patches_raw(img, ipi, size_h + 1, size_w + 1)
     if raw is None:
 
         def slice_one(p):
@@ -126,7 +188,7 @@ def extract_patches_multi(
     frac = (top_left - ip).astype(imgs.dtype)
     ipi = ip.astype(jnp.int32)
 
-    raw = _dma_rects(imgs, ipi, size_h + 1, size_w + 1)
+    raw = _dma_patches_raw(imgs, ipi, size_h + 1, size_w + 1)
     if raw is None:
 
         def slice_one(p):

@@ -164,6 +164,34 @@ def test_points_lanes_dma_carve_matches_slice_carve():
     )
 
 
+def test_dma_template_route_matches_slice_route():
+    """extract_patches / extract_patches_multi through the aligned panel
+    DMA route (forced on, interpret mode) must be bit-identical to the
+    slice route for in-bounds fractional origins — the shift passes and
+    the blend must be exact."""
+    from hackathonopticalflow_tpu.ops import patch
+
+    rng = np.random.RandomState(9)
+    imgs = jnp.asarray(rng.uniform(-50, 305, (3, 140, 400)), jnp.float32)
+    tl = jnp.asarray(
+        np.stack(
+            [rng.uniform(0, 400 - 20, 256), rng.uniform(0, 140 - 20, 256)],
+            -1,
+        ).astype(np.float32)
+    )
+    ref_multi = patch.extract_patches_multi(imgs, tl, 16, 16)
+    ref_one = patch.extract_patches(imgs[0], tl, 16, 16)
+    old = patch.DMA_TMPL
+    patch.DMA_TMPL = True
+    try:
+        out_multi = patch.extract_patches_multi(imgs, tl, 16, 16)
+        out_one = patch.extract_patches(imgs[0], tl, 16, 16)
+    finally:
+        patch.DMA_TMPL = old
+    assert bool(jnp.all(out_multi == ref_multi))
+    assert bool(jnp.all(out_one == ref_one))
+
+
 def test_gather_rects_matches_dynamic_slice_3d():
     rng = np.random.RandomState(4)
     img = jnp.asarray(rng.uniform(-9, 9, (3, 90, 140)), jnp.float32)
