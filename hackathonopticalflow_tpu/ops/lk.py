@@ -165,11 +165,12 @@ def _carve_init_centered(
 def _use_dma_carve(params: LKParams, n: int) -> bool:
     """Whether the init-centered carve should run through the aligned
     Pallas DMA kernel instead of the XLA gather. 'auto' enables it on
-    TPU from 512 points up: the DMA saves ~1.1 us/point but pays a
+    TPU from 256 points up: the DMA saves ~1.1 us/point but pays a
     16-panel i8 restage of the level plane (~0.1 ms at 1080p), so small
-    point sets keep the gather (benchmarks/micro_carve5.py)."""
+    point sets keep the gather (cap-64 tracker scans LOSE 1.6x with the
+    routes forced on — benchmarks/probe_tracker_minn.py)."""
     if params.carve_dma == "auto":
-        return jax.default_backend() == "tpu" and n >= 512
+        return jax.default_backend() == "tpu" and n >= 256
     return bool(params.carve_dma)
 
 

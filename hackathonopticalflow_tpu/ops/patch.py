@@ -27,11 +27,13 @@ DMA_CARVE = False
 #: Route the integer-origin window crops behind extract_patches /
 #: extract_patches_multi through the ALIGNED panel DMA carve
 #: (ops/carve_pallas.py) + a <=7 px masked-add shift. 'auto' = on TPU
-#: from DMA_TMPL_MIN_N points (the ~16-panel plane restage outweighs the
-#: saving below that); True/False force (tests force True in interpret
-#: mode to pin bit-identity).
+#: from DMA_TMPL_MIN_N points; True/False force (tests force True in
+#: interpret mode to pin bit-identity). Threshold measured on the 48-
+#: frame 1080p tracker scan (benchmarks/probe_tracker_minn.py): cap 256
+#: wins 1.05x with both routes on, cap 64 LOSES 0.63x (the per-level
+#: panel restage dominates tiny point sets).
 DMA_TMPL = "auto"
-DMA_TMPL_MIN_N = 512
+DMA_TMPL_MIN_N = 256
 
 
 def _dma_patches_raw(
