@@ -42,7 +42,9 @@ def main():
     )
     cfgs = {
         "quality+dma": dataclasses.replace(base, carve_dma=True),
-        "quality-dma": dataclasses.replace(base, carve_dma=False),
+        "L0L1+dma": dataclasses.replace(
+            base, carve_dma=True, rescue_levels=None
+        ),
         "ranged(canary)": dataclasses.replace(base, rescue_large=False),
     }
     fns, fulls = {}, {}
@@ -77,11 +79,7 @@ def main():
         log(f"BEST {name}: {best/n_pairs*1e3:.2f} ms/pair = "
             f"{n_pairs/best:.1f} fps  {[round(t*1e3) for t in ts]}")
 
-    p1, s1 = fulls["quality+dma"](dev)
-    p2, s2 = fulls["quality-dma"](dev)
-    d = float(jnp.max(jnp.abs(p1 - p2)))
-    sd = int(jnp.sum(s1 != s2))
-    log(f"identity: max|endpoint delta| {d:.2e}, status diffs {sd}")
+
 
 
 if __name__ == "__main__":

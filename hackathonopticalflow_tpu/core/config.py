@@ -127,15 +127,18 @@ class LKParams:
     #: displacement semantics at the cost of one extra L0 solve + a
     #: per-point dynamic slab extraction.
     rescue_large: bool = True
-    #: which levels get init-centered slabs: None = every level below
-    #: top; an int k = only levels < k. Default 1 (level 0 only): each
-    #: rescued level's extraction is ~2304 dynamic slices = ~2.8 ms/pair
-    #: on the relay (measured round 5: rescue at L0+L1 13.75 ms/pair vs
-    #: 11.02 L0-only vs 8.18 off). Points frozen at LEVEL 1 reach the
-    #: level-0 rescue with a level-2-quality init; the widened
-    #: rescue_margin basin absorbs that init's error, which is what lets
-    #: level 1 stay static.
-    rescue_levels: int | None = 1
+    #: which levels get init-centered slabs: None (default) = every
+    #: level below top; an int k = only levels < k. Round 5 shipped k=1
+    #: (L0 only) because each rescued level cost ~2304 dynamic slices =
+    #: ~2.8 ms/pair (L0+L1 13.75 ms/pair vs 11.02 L0-only); the aligned
+    #: DMA carve (round-5 continuation) inverted that: L0+L1
+    #: init-centered runs FASTER than L0-only (8.64 vs 9.41 ms/pair,
+    #: benchmarks/probe_carve_ctx.py) because the init-centered L1 slab
+    #: replaces the static path's wider slab and its large phase-A
+    #: ladder — and it is the higher-quality config (BASELINE.md r5
+    #: quality table: raw div 1.2-7.7% vs 9.41% worst-clip at L0-only,
+    #: masks 99.16-99.51%).
+    rescue_levels: int | None = None
     #: drift budget of the init-centered rescue pass (px at the rescued
     #: level's scale). Wider than iter_margin because a level-1-frozen
     #: point's rescue init is its LEVEL-2 estimate, whose error can
