@@ -106,7 +106,10 @@ class TrackerApp:
                 },
             )
             n_done = int(saved["n_done"])
-            prev_gray = np.asarray(saved["prev_gray"])
+            # checkpoint format keeps f32 (forward compat); the values
+            # are integral u8 grays, so the u8 cast is exact and keeps
+            # the resumed step on the same (u8, u8) jit signature
+            prev_gray = np.asarray(saved["prev_gray"]).astype(np.uint8)
             state = saved["tracker"]
             # poses ride the checkpoint too, so the returned pose list is
             # identical to an uninterrupted run's (advisor r4)
@@ -126,16 +129,24 @@ class TrackerApp:
         t0 = time.time()
         prev_heads = None
         prev_alive = None
+        # frames cross the host->device link as uint8 (track_step casts
+        # on device — exact) and the previous frame's DEVICE array is
+        # carried to the next step instead of re-staging it: at 1080p
+        # the old f32 re-stage paid 2x 8.3 MB/frame into the relay's
+        # degraded post-compile H2D (the batch runner's round-5 lesson).
+        prev_dev = jnp.asarray(prev_gray) if prev_gray is not None else None
         while cfg.max_frames is None or n < cfg.max_frames:
             frame = reader.read()
             if frame is None:
                 break
-            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
-            if prev_gray is None:
-                prev_gray = gray
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            gray_dev = jnp.asarray(gray)
+            if prev_dev is None:
+                prev_dev = gray_dev
             prev_heads = np.asarray(_heads(state))
             prev_alive = np.asarray(state.alive)
-            state = self._step(state, jnp.asarray(prev_gray), jnp.asarray(gray))
+            state = self._step(state, prev_dev, gray_dev)
+            prev_dev = gray_dev
             prev_gray = gray
 
             if cfg.estimate_pose and n > 0:

@@ -150,7 +150,7 @@ class LKParams:
     #: points_lanes tracker path): 'auto' routes the per-point slab
     #: extraction through the aligned Pallas DMA kernel
     #: (ops/carve_pallas.py, ~0.25 us/slab vs ~1.34 us/slice for the
-    #: XLA gather) on TPU when there are >= 512 points; True/False
+    #: XLA gather) on TPU when there are >= 256 points; True/False
     #: force it. Results are bit-identical to the gather carve — the
     #: lanes kernel's phase-A ladder absorbs the 8-px origin
     #: quantization (measured + pinned, tests/test_carve.py).

@@ -200,15 +200,26 @@ def collect_tracks(
     frame — the round-2 path paid the ~30 ms relay floor every frame,
     capping the whole ego-motion pipeline at ~15 fps (VERDICT weak #4).
     Chunked and per-frame runs produce identical tables
-    (tests/test_tracker.py)."""
+    (tests/test_tracker.py).
+
+    uint8 frames are staged AS uint8 and cast to f32 on device (exact;
+    track_step/track_video cast internally): the f32 staging paid 4x
+    the bytes into the relay's degraded post-compile H2D and was most
+    of the tracking stage's wall time at 640x360 (benchmarks/
+    probe_ego_u8.py — the batch runner's round-5 u8 lesson)."""
     state = init_tracker(params)
+    stage = (
+        frames
+        if frames.dtype == np.uint8
+        else np.asarray(frames, np.float32)
+    )
     # module-level jit caches keyed on the (hashable, frozen) params:
     # defining fresh lambdas here would recompile BOTH graphs on every
     # collect_tracks call (~50 s on the relay — measured; the scan itself
     # runs 109 fps at 640x360 once cached)
     step = _jit_track_step(params)
     scan = _jit_track_video(params)
-    f0 = jnp.asarray(frames[0], jnp.float32)
+    f0 = jnp.asarray(stage[0])
     state = step(state, f0, f0)  # seed detections on frame 0
     pos = [np.asarray(_heads(state))]
     alive = [np.asarray(state.alive)]
@@ -218,7 +229,7 @@ def collect_tracks(
     while idx < len(frames):
         # chunk covers steps idx..idx+n-1; frames[idx-1] carries the pair
         n = min(chunk, len(frames) - idx)
-        fr = jnp.asarray(frames[idx - 1 : idx + n], jnp.float32)
+        fr = jnp.asarray(stage[idx - 1 : idx + n])
         state, (hs, al, ln) = scan(fr, state)
         pos.extend(np.asarray(hs))
         alive.extend(np.asarray(al))

@@ -178,3 +178,26 @@ def test_collect_tracks_chunked_matches_serial():
     assert np.allclose(
         t_small.pos[t_small.alive], t_big.pos[t_big.alive], atol=1e-4
     )
+
+
+def test_collect_tracks_u8_staging_matches_f32():
+    """uint8 frames are staged as uint8 and cast on device (the round-5
+    H2D fix, benchmarks/probe_ego_u8.py); the table must be identical
+    to the old host-side f32 conversion (the cast is exact)."""
+    from hackathonopticalflow_tpu.nav.odometry import collect_tracks
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (120, 160)).astype(np.uint8)
+    frames = np.stack(
+        [np.roll(base, (2 * t, t), axis=(1, 0)) for t in range(7)]
+    )
+    params = _small_params()
+    t_u8 = collect_tracks(frames, params)
+    t_f32 = collect_tracks(frames.astype(np.float32), params)
+    assert np.array_equal(t_u8.alive, t_f32.alive)
+    assert np.array_equal(t_u8.birth, t_f32.birth)
+    # same post-cast graph; only the staged dtype differs — but XLA may
+    # still fuse the in-graph cast differently, so allow rounding noise
+    assert np.allclose(
+        t_u8.pos[t_u8.alive], t_f32.pos[t_f32.alive], atol=1e-4
+    )
