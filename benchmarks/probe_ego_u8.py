@@ -72,6 +72,40 @@ def main():
     )
     log(f"tables identical across staging dtypes: {same}")
 
+    # packed vs 3-leaf history fetch (FETCH_PACKED module toggle): the
+    # relay charges a round trip per fetched leaf
+    import hackathonopticalflow_tpu.nav.odometry as odo
+
+    fetch_tables = {}
+    for label, flag in (("packed", True), ("leaves", False)):
+        odo.FETCH_PACKED = flag
+        t0 = time.perf_counter()
+        collect_tracks(f2, ego_params)
+        log(f"collect_tracks[{label}] warm: {time.perf_counter() - t0:.2f}s")
+    for i in range(3):
+        for label, flag in (("packed", True), ("leaves", False)):
+            odo.FETCH_PACKED = flag
+            t0 = time.perf_counter()
+            fetch_tables[label] = collect_tracks(f2, ego_params)
+            dt = time.perf_counter() - t0
+            log(
+                f"collect_tracks[{label}] round {i}: {dt:.2f}s "
+                f"-> {len(f2) / dt:.2f} fps"
+            )
+    odo.FETCH_PACKED = True
+    same = (
+        np.array_equal(
+            fetch_tables["packed"].pos, fetch_tables["leaves"].pos
+        )
+        and np.array_equal(
+            fetch_tables["packed"].alive, fetch_tables["leaves"].alive
+        )
+        and np.array_equal(
+            fetch_tables["packed"].birth, fetch_tables["leaves"].birth
+        )
+    )
+    log(f"tables identical across fetch modes: {same}")
+
     for i in range(3):
         t0 = time.perf_counter()
         ego_motion_track(f2, ego_params, cam, OdometryConfig())

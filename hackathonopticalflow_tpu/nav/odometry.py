@@ -123,6 +123,32 @@ def _jit_track_video(params: TrackerParams):
     return jax.jit(lambda fr, s: track_video(fr, params, s))
 
 
+#: fetch each chunk's history rows as ONE packed array instead of three
+#: leaves: the relay charges a round trip per fetched leaf (the
+#: pathfinder chunked pipeline's packed-fetch lesson, BASELINE.md r3).
+#: Module toggle so benchmarks/probe_ego_u8.py can A/B in-process.
+FETCH_PACKED = True
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_track_video_packed(params: TrackerParams):
+    def run(fr, s):
+        s2, (hs, al, ln) = track_video(fr, params, s)
+        # (F, T, 4) f32: [x, y, alive, length] — alive is 0/1 and
+        # length <= trajectory_len (40), both exact in f32
+        packed = jnp.concatenate(
+            [
+                hs,
+                al.astype(jnp.float32)[..., None],
+                ln.astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+        return s2, packed
+
+    return jax.jit(run)
+
+
 @dataclasses.dataclass(frozen=True)
 class OdometryConfig:
     #: keyframes per BA window. 4 measured best on the corpus sweep
@@ -218,7 +244,11 @@ def collect_tracks(
     # collect_tracks call (~50 s on the relay — measured; the scan itself
     # runs 109 fps at 640x360 once cached)
     step = _jit_track_step(params)
-    scan = _jit_track_video(params)
+    scan = (
+        _jit_track_video_packed(params)
+        if FETCH_PACKED
+        else _jit_track_video(params)
+    )
     f0 = jnp.asarray(stage[0])
     state = step(state, f0, f0)  # seed detections on frame 0
     pos = [np.asarray(_heads(state))]
@@ -230,10 +260,17 @@ def collect_tracks(
         # chunk covers steps idx..idx+n-1; frames[idx-1] carries the pair
         n = min(chunk, len(frames) - idx)
         fr = jnp.asarray(stage[idx - 1 : idx + n])
-        state, (hs, al, ln) = scan(fr, state)
-        pos.extend(np.asarray(hs))
-        alive.extend(np.asarray(al))
-        length.extend(np.asarray(ln))
+        if FETCH_PACKED:
+            state, packed = scan(fr, state)
+            arr = np.asarray(packed)  # ONE fetch round trip per chunk
+            pos.extend(arr[..., :2])
+            alive.extend(arr[..., 2] > 0.5)
+            length.extend(arr[..., 3].astype(np.int32))
+        else:
+            state, (hs, al, ln) = scan(fr, state)
+            pos.extend(np.asarray(hs))
+            alive.extend(np.asarray(al))
+            length.extend(np.asarray(ln))
         idx += n
     fidx = np.arange(len(frames)).reshape(-1, 1)
     return TrackTable(
